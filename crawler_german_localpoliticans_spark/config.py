@@ -1,0 +1,52 @@
+"""Crawl configuration, mirroring the reference's worker_config.toml.
+
+reference: worker_config.toml (max_depth=2 :17, politeness_delay_ms=2000 :21,
+concurrent_tasks=4 :24, keywords :28-35), src/main.rs:47 (user agent),
+:615-617 (SAVE_ALL_HTML override).
+
+Scale knobs (bloom sizing, partition counts, per-wave slice budget) are ours:
+they parameterize the same code paths from the sandbox's sf fixtures up to the
+10^10-URL posture demanded by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.keywords import DEFAULT_KEYWORDS
+from .functions.robots import DEFAULT_USER_AGENT
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # reference semantics
+    max_depth: int = 2
+    politeness_delay_ms: int = 2000
+    keywords: tuple[str, ...] = DEFAULT_KEYWORDS
+    user_agent: str = DEFAULT_USER_AGENT
+    save_all_html: bool = False
+
+    # engine/scale knobs
+    shuffle_partitions: int = 32
+    # partitions of the url_seen table / bloom sidecar; at 1e10 URLs raise to
+    # O(10k) so each partition's filter (~1.2 GB total at 1% FPR) stays small
+    seen_partitions: int = 32
+    bloom_capacity_per_partition: int = 1 << 17
+    bloom_fpp: float = 0.01
+    use_bloom_prefilter: bool = True
+    # politeness wave-slicing: when >0, each BFS depth wave is fetched in
+    # slices capped at ceil(slice_budget_ms / effective_delay_ms) pages per
+    # host per slice; expansion is committed only once the whole wave is
+    # fetched, so (depth, seq) parity with the reference is preserved
+    slice_budget_ms: int = 0
+    # per-host hard cap per slice as a skew guard (0 = unlimited)
+    max_pages_per_host_per_slice: int = 0
+    salt_buckets: int = 8  # salting factor for hot-host skew in fetch/extract
+
+    def effective_keywords(self) -> list[str]:
+        from .functions.keywords import effective_keywords
+
+        return effective_keywords(list(self.keywords))
+
+
+DEFAULT_CONFIG = CrawlConfig()

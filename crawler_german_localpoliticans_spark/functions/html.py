@@ -1,0 +1,256 @@
+"""HTML link extraction, cleaning and text extraction.
+
+Three row-level transforms, each the golden definition for a byte-identity
+invariant (BASELINE.json input_hint: "byte-identical extracted text per url"):
+
+- `extract_links`: every `a[href]` attribute value in document order, tolerant
+  of broken HTML — semantics of the reference's lol_html streaming pass
+  (reference: src/main.rs:859-895). Content of <script>/<style> is rawtext and
+  never yields elements, matching lol_html.
+- `clean_html`: parse -> drop every <script> subtree -> re-serialize the
+  normalized DOM; on parse error return the input verbatim (reference:
+  julia_container/clean_html_docker.jl:415-443). Gumbo's exact serialization
+  bytes are runtime-specific, so per SURVEY.md §7 this function *is* the
+  fixed golden contract for the rebuilt engine: deterministic, pure, and the
+  pytest suite enforces byte-identity against it.
+- `extract_text`: visible text of the cleaned DOM (script/style excluded),
+  whitespace-collapsed. This is the `text` column of the `pages` shape.
+
+All three are wrapped as Arrow-batched pandas UDFs in functions/udfs.py —
+never per-row Python on the Spark side.
+"""
+
+from __future__ import annotations
+
+from html import escape
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+RAWTEXT_ELEMENTS = frozenset(("script", "style"))
+
+
+# ---------------------------------------------------------------------------
+# link extraction (streaming, no DOM) — semantics of lol_html `a[href]`
+# ---------------------------------------------------------------------------
+
+
+class _LinkCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.links.append(value)
+                    break
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        # lol_html's element! handler also fires for self-closing <a href/>
+        self.handle_starttag(tag, attrs)
+
+
+def extract_links(html: str | bytes | None) -> list[str]:
+    """All a[href] values in document order; broken HTML tolerated
+    (reference: src/main.rs:863-883)."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    collector = _LinkCollector()
+    try:
+        collector.feed(html)
+        collector.close()
+    except Exception:
+        # streaming parser: keep whatever was collected before the error,
+        # mirroring lol_html's `rewriter.write(..).ok()` best-effort writes
+        pass
+    return collector.links
+
+
+# ---------------------------------------------------------------------------
+# DOM build / clean / serialize — golden contract for clean_html
+# ---------------------------------------------------------------------------
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[object] = []  # _Node | str (text) | tuple marker
+
+
+class _Comment:
+    __slots__ = ("text",)
+
+    def __init__(self, text: str) -> None:
+        self.text = text
+
+
+class _DomBuilder(HTMLParser):
+    """Tolerant tree builder. Recovery rules (fixed golden semantics):
+
+    - void elements never take children;
+    - an end tag pops up to its nearest matching open tag; with no match in
+      the open stack it is ignored (stray close);
+    - unclosed tags are implicitly closed at EOF;
+    - <script>/<style> content is raw text (html.parser handles CDATA mode).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=False)
+        self.root = _Node("#document", [])
+        self.stack: list[_Node] = [self.root]
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        node = _Node(tag, attrs)
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self.stack[-1].children.append(_Node(tag, attrs))
+
+    def handle_endtag(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignored
+
+    def handle_data(self, data: str) -> None:
+        self.stack[-1].children.append(data)
+
+    def handle_entityref(self, name: str) -> None:
+        self.stack[-1].children.append(f"&{name};")
+
+    def handle_charref(self, name: str) -> None:
+        self.stack[-1].children.append(f"&#{name};")
+
+    def handle_comment(self, data: str) -> None:
+        self.stack[-1].children.append(_Comment(data))
+
+    def handle_decl(self, decl: str) -> None:
+        self.stack[-1].children.append(_Comment("!" + decl))
+
+
+def _parse(html: str) -> _Node:
+    builder = _DomBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def _serialize_attrs(attrs: list[tuple[str, str | None]]) -> str:
+    out = []
+    for name, value in attrs:
+        if value is None:
+            out.append(f" {name}")
+        else:
+            out.append(f' {name}="{escape(value, quote=True)}"')
+    return "".join(out)
+
+
+def _serialize(node: object, out: list[str]) -> None:
+    if isinstance(node, str):
+        out.append(node)
+        return
+    if isinstance(node, _Comment):
+        out.append(f"<!--{node.text}-->")
+        return
+    assert isinstance(node, _Node)
+    if node.tag == "#document":
+        for child in node.children:
+            _serialize(child, out)
+        return
+    out.append(f"<{node.tag}{_serialize_attrs(node.attrs)}")
+    if node.tag in VOID_ELEMENTS and not node.children:
+        out.append("/>")
+        return
+    out.append(">")
+    for child in node.children:
+        _serialize(child, out)
+    out.append(f"</{node.tag}>")
+
+
+def _drop_tag(node: _Node, tag: str) -> int:
+    """Pre-order collect + detach, mirroring the Julia PreOrderDFS pass
+    (clean_html_docker.jl:418-437). Returns number of removed subtrees."""
+    removed = 0
+    kept: list[object] = []
+    for child in node.children:
+        if isinstance(child, _Node) and child.tag == tag:
+            removed += 1
+            continue
+        if isinstance(child, _Node):
+            removed += _drop_tag(child, tag)
+        kept.append(child)
+    node.children = kept
+    return removed
+
+
+def clean_html(html: str | bytes | None) -> str:
+    """Drop all <script> subtrees, re-serialize; parse error -> input verbatim
+    (reference: julia_container/clean_html_docker.jl:415-443)."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    try:
+        root = _parse(html)
+        _drop_tag(root, "script")
+        out: list[str] = []
+        _serialize(root, out)
+        return "".join(out)
+    except Exception:
+        return html
+
+
+_WS = " \t\n\r\f\v"
+
+
+class _TextCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in RAWTEXT_ELEMENTS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in RAWTEXT_ELEMENTS and self._skip_depth:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip_depth:
+            self.chunks.append(data)
+
+
+def extract_text(html: str | bytes | None) -> str:
+    """Visible text of (cleaned) HTML: text nodes outside script/style,
+    entity-decoded, all whitespace runs collapsed to single spaces, stripped.
+    The golden byte-identity target for the `text` column."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    collector = _TextCollector()
+    try:
+        collector.feed(html)
+        collector.close()
+    except Exception:
+        pass
+    return " ".join("".join(collector.chunks).split())
+
+
+def clean_and_extract(html: str | bytes | None) -> tuple[str, str]:
+    """(clean_html, extract_text-of-clean) in one pass over the input."""
+    cleaned = clean_html(html)
+    return cleaned, extract_text(cleaned)

@@ -1,0 +1,194 @@
+"""URL canonicalization, resolution and derived keys.
+
+Reimplements the semantics of the reference's URL handling
+(reference: src/main.rs:429-440 `normalize_url`, :441-444 `is_http_scheme`,
+:124-131 `host_key`, :900 `current_url.join(href.trim())`,
+src/bin/seeder.rs:55-58 seed fragment-strip) on top of `urllib.parse`.
+
+The Rust `url` crate normalizes at parse time (lowercased scheme/host,
+default-port removal, dot-segment removal, `/` path for empty paths on
+special schemes); the reference's `normalize_url` then strips the fragment.
+We fold both into one canonical form here. This Python implementation is the
+*golden* definition for the rebuilt engine (SURVEY.md §7 "Hard parts"): the
+engine, the oracle, and every dedup/ordering hash derive from it.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, urljoin, urlsplit, urlunsplit
+
+# Characters the `url` crate leaves un-encoded in path / query components.
+# Existing percent-escapes are preserved ('%' is in the safe set).
+_PATH_SAFE = "/%!$&'()*+,;=:@~.-_"
+_QUERY_SAFE = "/%!$&'()*+,;=:@~.-_?"
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — the `url` crate applies this at parse time."""
+    if not path:
+        return path
+    output: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(output) > 1:
+                output.pop()
+            continue
+        output.append(seg)
+    # trailing "." / ".." imply a trailing slash
+    if path.endswith(("/.", "/..")) and (not output or output[-1] != ""):
+        output.append("")
+    result = "/".join(output)
+    if path.startswith("/") and not result.startswith("/"):
+        result = "/" + result
+    return result
+
+
+def canonicalize_url(raw: str, *, keep_fragment: bool = False) -> str | None:
+    """Parse + normalize a URL to its canonical string form.
+
+    Returns None for unparsable/relative inputs (the reference silently skips
+    those, src/main.rs:639-642, :899-906). Semantics:
+
+    - scheme and host lowercased
+    - default port removed (http:80 / https:443)
+    - fragment removed (unless keep_fragment, used by the seed path which
+      per src/bin/seeder.rs:57 strips *only* the fragment — the remaining
+      normalization is the parse-time normalization, identical to this)
+    - empty path -> "/" for http(s)
+    - dot segments removed
+    - percent-encoding of path/query characters outside the safe set,
+      preserving existing escapes
+    """
+    if raw is None:
+        return None
+    s = raw.strip()
+    if not s:
+        return None
+    try:
+        parts = urlsplit(s)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme:
+        return None
+    if scheme in ("http", "https") and not parts.netloc:
+        return None
+    try:
+        host = parts.hostname
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = ""
+    if parts.netloc:
+        if host is None:
+            return None
+        netloc = host.lower()
+        if port is not None and port != _DEFAULT_PORTS.get(scheme):
+            netloc = f"{netloc}:{port}"
+    path = _remove_dot_segments(parts.path)
+    if scheme in ("http", "https") and not path:
+        path = "/"
+    path = quote(path, safe=_PATH_SAFE)
+    query = quote(parts.query, safe=_QUERY_SAFE)
+    fragment = quote(parts.fragment, safe=_QUERY_SAFE) if keep_fragment and parts.fragment else ""
+    return urlunsplit((scheme, netloc, path, query, fragment))
+
+
+def join_url(base: str, href: str) -> str | None:
+    """RFC 3986 resolution of an href against its page URL, then canonical.
+
+    Mirrors `current_url.join(href.trim())` + `normalize_url`
+    (reference: src/main.rs:899-905).
+    """
+    if href is None:
+        return None
+    href = href.strip()
+    try:
+        joined = urljoin(base, href)
+    except ValueError:
+        return None
+    return canonicalize_url(joined)
+
+
+def is_http_scheme(url: str) -> bool:
+    """reference: src/main.rs:441-444."""
+    return url.startswith("http://") or url.startswith("https://")
+
+
+def url_host(url: str) -> str:
+    """Lowercased hostname of a canonical URL ('' when absent)."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def url_path(url: str) -> str:
+    """Path component used for robots longest-prefix matching
+    (reference: src/main.rs:684 `current_url.path()`)."""
+    try:
+        return urlsplit(url).path or "/"
+    except ValueError:
+        return "/"
+
+
+def host_key(url: str) -> str:
+    """`scheme://host[:port]` robots-cache key (reference: src/main.rs:124-131).
+
+    On a canonical URL the port survives only when non-default, matching the
+    Rust side where `url.port()` is None for scheme-default ports.
+    """
+    try:
+        parts = urlsplit(url)
+        host = (parts.hostname or "").lower()
+        port = parts.port
+    except ValueError:
+        return ""
+    scheme = parts.scheme.lower()
+    suffix = f":{port}" if port is not None and port != _DEFAULT_PORTS.get(scheme) else ""
+    return f"{scheme}://{host}{suffix}"
+
+
+def safe_filename_from_url(url: str) -> str:
+    """HTML blob filename (reference: src/main.rs:465-498).
+
+    host + '_' + path [+ '_' + query]; chars outside [A-Za-z0-9.-] -> '_';
+    collapse '__' runs; strip leading/trailing '_'; truncate to 150 chars;
+    empty -> 'index'.
+    """
+    try:
+        parts = urlsplit(url)
+        host = parts.hostname or ""
+    except ValueError:
+        parts = None
+        host = ""
+    s = host + "_"
+    if parts is not None:
+        s += parts.path
+        if parts.query:
+            s += "_" + parts.query
+    out = "".join(ch if (ch.isascii() and ch.isalnum()) or ch in "-." else "_" for ch in s)
+    while "__" in out:
+        out = out.replace("__", "_")
+    out = out.strip("_")[:150]
+    return out or "index"
+
+
+def derive_custom_id(source_key: str) -> str:
+    """LLM-batch custom id (reference: julia_container/clean_html_docker.jl:488-495).
+
+    basename of the key (whole key when basename empty); non [0-9A-Za-z_.-]
+    -> '_'; strip '_'; empty -> 'file'; prefixed 'request_'.
+    """
+    import re
+
+    filename = source_key.rsplit("/", 1)[-1]
+    candidate = filename if filename else source_key
+    sanitized = re.sub(r"[^0-9A-Za-z_.-]", "_", candidate).strip("_")
+    if not sanitized:
+        sanitized = "file"
+    return "request_" + sanitized

@@ -1,0 +1,91 @@
+"""Golden-contract tests for link extraction / clean_html / extract_text
+(reference semantics: src/main.rs:859-909, julia_container/
+clean_html_docker.jl:415-443 — Python implementation is the fixed golden,
+SURVEY.md §7)."""
+
+from __future__ import annotations
+
+from crawler_german_localpoliticans_spark.functions.html import (
+    clean_html,
+    extract_links,
+    extract_text,
+)
+
+
+def test_links_document_order():
+    html = '<a href="/b">b</a><p><a href="/a">a</a></p><a href="/c">c</a>'
+    assert extract_links(html) == ["/b", "/a", "/c"]
+
+
+def test_links_duplicates_kept_here():
+    # per-page dedup happens later in the pipeline (src/main.rs:908-909)
+    html = '<a href="/x">1</a><a href="/x">2</a>'
+    assert extract_links(html) == ["/x", "/x"]
+
+
+def test_links_ignore_script_content():
+    html = '<script>var s = \'<a href="/fake">x</a>\';</script><a href="/real">r</a>'
+    assert extract_links(html) == ["/real"]
+
+
+def test_links_missing_href_and_selfclosing():
+    html = '<a name="anchor">no href</a><a href="/y"/><A HREF="/upper">u</A>'
+    assert extract_links(html) == ["/y", "/upper"]
+
+
+def test_links_tolerant_of_broken_html():
+    html = '<div><a href="/a">a<p><a href="/b">'
+    assert extract_links(html) == ["/a", "/b"]
+
+
+def test_links_bytes_input():
+    assert extract_links(b'<a href="/x">x</a>') == ["/x"]
+
+
+def test_clean_removes_script_subtrees():
+    html = '<html><head><script>var a=1;</script></head><body><p>Hallo</p><script src="x.js"></script></body></html>'
+    cleaned = clean_html(html)
+    assert "<script" not in cleaned
+    assert "var a=1" not in cleaned
+    assert "<p>Hallo</p>" in cleaned
+
+
+def test_clean_removes_nested_content_inside_script():
+    html = "<body><script><div>inner</div></script><p>keep</p></body>"
+    cleaned = clean_html(html)
+    assert "inner" not in cleaned
+    assert "keep" in cleaned
+
+
+def test_clean_preserves_non_script():
+    html = '<div class="a"><span>Text &amp; mehr</span><br/></div>'
+    cleaned = clean_html(html)
+    assert "Text" in cleaned and "span" in cleaned
+    # entity preserved, not double-decoded
+    assert "&amp;" in cleaned
+
+
+def test_clean_is_deterministic_and_idempotent_on_clean_input():
+    html = "<html><body><p>x</p></body></html>"
+    once = clean_html(html)
+    assert clean_html(once) == once
+
+
+def test_clean_tolerates_malformed():
+    html = "<html><head><title>t<body><p>offen"
+    cleaned = clean_html(html)
+    assert "offen" in cleaned
+
+
+def test_extract_text_collapses_whitespace():
+    html = "<body><h1>Titel</h1>\n\n  <p>Zeile   eins</p><script>skip()</script></body>"
+    assert extract_text(html) == "Titel Zeile eins"
+
+
+def test_extract_text_decodes_entities():
+    assert extract_text("<p>a &amp; b &uuml;</p>") == "a & b ü"
+
+
+def test_extract_text_empty():
+    assert extract_text("") == ""
+    assert extract_text(None) == ""

@@ -1,0 +1,139 @@
+"""Table-driven parity tests for URL canonicalization & derived keys
+(reference semantics: src/main.rs:429-498, src/bin/seeder.rs:55-58,
+julia_container/clean_html_docker.jl:488-495)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_german_localpoliticans_spark.functions.urls import (
+    canonicalize_url,
+    derive_custom_id,
+    host_key,
+    is_http_scheme,
+    join_url,
+    safe_filename_from_url,
+    url_path,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # fragment dropped (src/main.rs:431)
+        ("https://example.de/a#frag", "https://example.de/a"),
+        # default ports dropped (src/main.rs:432-435)
+        ("http://example.de:80/a", "http://example.de/a"),
+        ("https://example.de:443/a", "https://example.de/a"),
+        ("https://example.de:8443/a", "https://example.de:8443/a"),
+        # empty path -> "/" (src/main.rs:437-439)
+        ("https://example.de", "https://example.de/"),
+        ("https://example.de?q=1", "https://example.de/?q=1"),
+        # host lowercased, scheme lowercased (url crate parse normalization)
+        ("HTTPS://EXAMPLE.DE/Pfad", "https://example.de/Pfad"),
+        # query preserved verbatim
+        ("https://example.de/a?b=1&c=2", "https://example.de/a?b=1&c=2"),
+        # dot segments removed
+        ("https://example.de/a/../b/./c", "https://example.de/b/c"),
+        ("https://example.de/a/b/..", "https://example.de/a/"),
+        # spaces percent-encoded, existing escapes preserved
+        ("https://example.de/a b", "https://example.de/a%20b"),
+        ("https://example.de/a%20b", "https://example.de/a%20b"),
+        # non-http schemes parse but keep their shape
+        ("mailto:rat@example.de", "mailto:rat@example.de"),
+    ],
+)
+def test_canonicalize(raw, expected):
+    assert canonicalize_url(raw) == expected
+
+
+@pytest.mark.parametrize("raw", ["", "   ", "http://", "https://"])
+def test_canonicalize_invalid(raw):
+    assert canonicalize_url(raw) is None
+
+
+def test_canonicalize_keep_fragment_seed_path():
+    # seeder strips only the fragment (seeder.rs:57); parse normalization
+    # still applies, so keep_fragment=True + defrag == canonical
+    assert (
+        canonicalize_url("https://Example.DE:443/a#x", keep_fragment=True)
+        == "https://example.de/a#x"
+    )
+    assert canonicalize_url("https://Example.DE:443/a#x") == "https://example.de/a"
+
+
+@pytest.mark.parametrize(
+    "base,href,expected",
+    [
+        ("https://h.de/a/b", "c", "https://h.de/a/c"),
+        ("https://h.de/a/b", "/c", "https://h.de/c"),
+        ("https://h.de/a/b", "../c", "https://h.de/c"),
+        ("https://h.de/a/b", "  ../c  ", "https://h.de/c"),  # trim, src/main.rs:900
+        ("https://h.de/a/b", "https://other.de/x#f", "https://other.de/x"),
+        ("https://h.de/a/b", "//cdn.de/x", "https://cdn.de/x"),
+        ("https://h.de/a/b", "?q=2", "https://h.de/a/b?q=2"),
+        ("https://h.de/a/b", "mailto:x@y.de", "mailto:x@y.de"),
+    ],
+)
+def test_join(base, href, expected):
+    assert join_url(base, href) == expected
+
+
+def test_scheme_filter():
+    assert is_http_scheme("https://a.de/")
+    assert is_http_scheme("http://a.de/")
+    assert not is_http_scheme("mailto:x@y.de")
+    assert not is_http_scheme("javascript:void(0)")
+    assert not is_http_scheme("ftp://a.de/")
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("https://a.de/x", "https://a.de"),
+        ("https://a.de:8443/x", "https://a.de:8443"),
+        ("https://a.de:443/x", "https://a.de"),  # default port gone, main.rs:124-131
+        ("http://a.de:80/x", "http://a.de"),
+    ],
+)
+def test_host_key(url, expected):
+    assert host_key(url) == expected
+
+
+def test_url_path():
+    assert url_path("https://a.de/x/y?q=1") == "/x/y"
+    assert url_path("https://a.de") == "/"
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        # host + '_' + path, specials -> '_', collapse, strip (src/main.rs:465-498)
+        ("https://a.de/x/y", "a.de_x_y"),
+        ("https://a.de/", "a.de"),
+        ("https://a.de/x?b=1&c=2", "a.de_x_b_1_c_2"),
+        ("https://a.de/äöü", "a.de"),  # non-ascii -> '_' -> collapsed/stripped
+        ("https://a.de/x__y", "a.de_x_y"),
+    ],
+)
+def test_safe_filename(url, expected):
+    assert safe_filename_from_url(url) == expected
+
+
+def test_safe_filename_truncate_and_empty():
+    long = "https://a.de/" + "x" * 300
+    assert len(safe_filename_from_url(long)) == 150
+    assert safe_filename_from_url("https:///") == "index"
+
+
+@pytest.mark.parametrize(
+    "key,expected",
+    [
+        ("crawl-html/a.de_x.html", "request_a.de_x.html"),
+        ("a b/c d.html", "request_c_d.html"),
+        ("dir/", "request_dir"),  # empty basename -> whole key sanitized
+        ("___", "request_file"),
+    ],
+)
+def test_derive_custom_id(key, expected):
+    assert derive_custom_id(key) == expected

@@ -1,0 +1,465 @@
+"""The iterative crawl driver: one Spark job per BFS wave.
+
+Spark-native reimplementation of the reference's worker loop
+(src/main.rs:554-980) — NOT a port: the Redis queue/set become DataFrame
+state (SURVEY.md §3.1 "Spark rebuild lifecycle"):
+
+    frontier(round r) ─ mark seen ─ robots filter (broadcast policies)
+      ─ politeness schedule (host partitioning, priority order, rate caps)
+      ─ join pages on url (the offline "fetch", BASELINE input_hint)
+      ─ found_links pandas UDF ─ keyword gate (Column expr)
+      ─ clean/extract pandas UDFs ─ posexplode candidates
+      ─ first-discovery-wins dedup (min (parent_seq, pos) struct)
+      ─ bloom prefilter ─ exact anti-join vs url_seen
+      ─ global seq assignment ─ commit round (checkpoint line)
+
+Determinism / parity invariants (tests/test_crawl_spark.py asserts all of
+them against plans/oracle.py on shared fixtures):
+- round == BFS depth; expansion commits only after the *whole* wave is
+  fetched, so politeness slicing can never change membership or order;
+- `seq` = the reference's single-worker FIFO order: seeds in CSV order, then
+  children ordered by (first-discovering parent's seq, position in that
+  parent's sorted found_links) — exactly the order the Lua
+  check-and-add (src/main.rs:30-45) produces under one worker;
+- url_seen == distinct frontier urls (every popped URL is seen before any
+  filtering, src/main.rs:644-654; children are seen at enqueue);
+- `scraped_at` is the page's warc_ts (deterministic stand-in for the
+  reference's wall-clock RFC3339 stamp, src/main.rs:919).
+
+Scale posture (local[32] here, 1000 executors at 10^10 URLs):
+- robots policies: parsed once per distinct host ON EXECUTORS from the
+  robots table, collected compactly, broadcast; evaluated in one pandas UDF;
+- the frontier→pages join is the big shuffle: both sides hash on `url`; at
+  production scale `pages` is bucketed by url so the join is shuffle-free
+  on the pages side; AQE handles candidate skew;
+- the anti-join is keyed on the canonical URL (uniform by construction);
+  the bloom sidecar keeps definite-new rows out of it entirely;
+- no collect() on data paths — only tiny aggregates (counts, bucket
+  offsets, robots policies) reach the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig, DEFAULT_CONFIG
+from ..functions import udfs
+from ..functions.robots import parse_robots
+from ..sources import tables as tbl
+from .bloom import BloomSidecar, with_hashes
+from .checkpoint import CheckpointLog, partition_lineage
+from .ordering import assign_global_seq
+from .politeness import schedule_wave, wave_politeness_metrics
+
+
+@dataclass
+class CrawlTables:
+    fetched: DataFrame
+    url_seen: DataFrame
+    extracted: DataFrame
+    frontier: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+
+
+def build_robots_state(
+    spark: SparkSession, robots_df: DataFrame, config: CrawlConfig
+) -> dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]]:
+    """Parse robots.txt once per distinct host — distributed over the robots
+    table (X3 runs on executors via a pandas UDF), compact policies collected
+    and returned for broadcast. Hosts without a row get the empty policy
+    (allow all), matching src/main.rs:138-141."""
+    ua = config.user_agent
+
+    @F.pandas_udf(T.StringType())
+    def parse(txts: pd.Series) -> pd.Series:
+        import json
+
+        def one(txt):
+            p = parse_robots(txt or "", ua)
+            return json.dumps([p.allow, p.disallow, p.crawl_delay_ms])
+
+        return txts.map(one)
+
+    import json
+
+    rows = (
+        robots_df.select("host_key", parse(F.col("robots_txt")).alias("policy"))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        allow, disallow, delay = json.loads(r["policy"])
+        out[r["host_key"]] = (tuple(allow), tuple(disallow), delay)
+    return out
+
+
+def robots_eval_udfs(spark: SparkSession, policies: dict):
+    """(blocked_udf, delay_udf) evaluating the broadcast policy map.
+
+    Pure function of (host_key, path) — SURVEY.md §2.2 F2. The longest-prefix
+    match runs vectorized over Arrow batches; the policy map ships to
+    executors once via the Spark broadcast, not per-task closure pickling.
+    """
+    bc = spark.sparkContext.broadcast(policies)
+
+    @F.pandas_udf(T.BooleanType())
+    def blocked(host_keys: pd.Series, paths: pd.Series) -> pd.Series:
+        pol = bc.value
+
+        def one(hk, path):
+            entry = pol.get(hk)
+            if entry is None:
+                return False
+            allow, disallow, _ = entry
+            a = max((len(p) for p in allow if path.startswith(p)), default=0)
+            d = max((len(p) for p in disallow if path.startswith(p)), default=0)
+            return d > a and d > 0
+
+        return pd.Series([one(hk, p) for hk, p in zip(host_keys, paths)])
+
+    @F.pandas_udf(T.LongType())
+    def crawl_delay(host_keys: pd.Series) -> pd.Series:
+        pol = bc.value
+
+        def one(hk):
+            entry = pol.get(hk)
+            return entry[2] if entry is not None else None
+
+        return pd.Series([one(hk) for hk in host_keys], dtype="object")
+
+    return blocked, crawl_delay
+
+
+class CrawlDriver:
+    """Iterative BFS crawl over (pages, seeds, robots) with checkpoint/resume."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        pages_path: str,
+        robots_df: DataFrame,
+        config: CrawlConfig = DEFAULT_CONFIG,
+    ) -> None:
+        self.spark = spark
+        self.work_dir = work_dir
+        self.config = config
+        os.makedirs(work_dir, exist_ok=True)
+        self.catalog = tbl.Catalog(spark, work_dir)
+        self.checkpoints = CheckpointLog(work_dir)
+        self.bloom = BloomSidecar(
+            work_dir, config.seen_partitions, config.bloom_capacity_per_partition, config.bloom_fpp
+        )
+        self.pages_path = pages_path
+        self.policies = build_robots_state(spark, robots_df, config)
+        self.robots_blocked_udf, self.crawl_delay_udf = robots_eval_udfs(spark, self.policies)
+
+    # ------------------------------------------------------------------ seeds
+    def _seed_frontier(self, seeds_df: DataFrame) -> DataFrame:
+        """raw seeds -> depth-0 frontier; invalid URLs skipped
+        (seeder.rs:55-60); duplicates preserved (seeder does not dedup)."""
+        seeded = (
+            seeds_df.withColumn("url", udfs.seed_normalize(F.col("raw_url")))
+            .where(F.col("url").isNotNull())
+        )
+        seeded = assign_global_seq(seeded, ["seed_order"], base=0, buckets=self.config.shuffle_partitions)
+        return seeded.select(
+            "seq",
+            "url",
+            F.lit(0).cast("int").alias("depth"),
+            udfs.url_host(F.col("url")).alias("host"),
+            udfs.host_key(F.col("url")).alias("host_key"),
+        )
+
+    # ------------------------------------------------------------------ wave
+    def _run_round(self, r: int, next_seq: int, bloom_version: int) -> dict:
+        cfg = self.config
+        cat = self.catalog
+        t0 = time.monotonic()
+        metrics: dict = {"round": r}
+
+        frontier = cat.read_round("frontier", r, tbl.FRONTIER_SCHEMA)
+        pages = tbl.read_pages(self.spark, self.pages_path)
+
+        # 1. mark seen: url_seen delta for this round was written when the
+        #    round's frontier was enqueued (seeds at round 0, children at
+        #    expansion) — invariant: url_seen == distinct(frontier.url).
+
+        # 2. robots filter (broadcast state; blocked rows stay in seen and in
+        #    fetched with robots_blocked=true, src/main.rs:684-686)
+        frontier = frontier.withColumn("path", udfs.url_path(F.col("url")))
+        frontier = frontier.withColumn(
+            "robots_blocked", self.robots_blocked_udf(F.col("host_key"), F.col("path"))
+        ).withColumn("crawl_delay_ms", self.crawl_delay_udf(F.col("host_key")))
+        frontier = frontier.withColumn(
+            "keyword_hit",
+            udfs.keyword_hit_col(F.col("url"), cfg.keywords, cfg.save_all_html),
+        )
+        frontier.persist()
+
+        blocked = frontier.where(F.col("robots_blocked"))
+        allowed = frontier.where(~F.col("robots_blocked"))
+
+        # 3. politeness schedule over host partitions (priority: keyword
+        #    whitelist first, then FIFO seq; per-host slots + slices)
+        scheduled = schedule_wave(allowed, cfg)
+        metrics["politeness"] = wave_politeness_metrics(scheduled)
+
+        # 4. offline fetch = join against the pages corpus on canonical url
+        fetched_raw = scheduled.join(
+            pages.select("url", "warc_ts", "html"), on="url", how="left"
+        )
+        fetched_raw = fetched_raw.withColumn("fetch_failed", F.col("html").isNull())
+        fetched_raw.persist()
+
+        ok = fetched_raw.where(~F.col("fetch_failed"))
+        ok = ok.withColumn("found_links", udfs.found_links(F.col("url"), F.col("html")))
+        ok.persist()
+
+        # 5. fetched table rows for the wave (robots-blocked + failed + ok)
+        empty_links = F.array().cast("array<string>")
+        fetched_rows = (
+            ok.select(
+                "seq",
+                "url",
+                "depth",
+                F.col("warc_ts").alias("scraped_at"),
+                "found_links",
+                "keyword_hit",
+                F.lit(False).alias("robots_blocked"),
+                F.lit(False).alias("fetch_failed"),
+            )
+            .unionByName(
+                blocked.select(
+                    "seq",
+                    "url",
+                    "depth",
+                    F.lit(None).cast("timestamp").alias("scraped_at"),
+                    empty_links.alias("found_links"),
+                    "keyword_hit",
+                    F.lit(True).alias("robots_blocked"),
+                    F.lit(False).alias("fetch_failed"),
+                )
+            )
+            .unionByName(
+                fetched_raw.where(F.col("fetch_failed")).select(
+                    "seq",
+                    "url",
+                    "depth",
+                    F.lit(None).cast("timestamp").alias("scraped_at"),
+                    empty_links.alias("found_links"),
+                    "keyword_hit",
+                    F.lit(False).alias("robots_blocked"),
+                    F.lit(True).alias("fetch_failed"),
+                )
+            )
+        )
+        cat.write_round("fetched", r, fetched_rows)
+
+        # 6. extraction stage: keyword-gated pages only (src/main.rs:824)
+        gated = ok.where(F.col("keyword_hit"))
+        extracted = (
+            gated.withColumn("ce", udfs.clean_extract(F.col("html")))
+            .select(
+                "url",
+                F.col("ce.clean_html").alias("clean_html"),
+                F.col("ce.text").alias("text"),
+                udfs.custom_id_from_url(F.col("url")).alias("custom_id"),
+            )
+        )
+        cat.write_round("extracted", r, extracted)
+
+        counts = frontier.agg(
+            F.count(F.lit(1)).alias("scheduled"),
+            F.sum(F.col("robots_blocked").cast("long")).alias("blocked"),
+            F.sum(F.col("keyword_hit").cast("long")).alias("keyword"),
+        ).collect()[0]
+        ok_count = ok.count()
+        metrics.update(
+            scheduled=counts["scheduled"],
+            robots_blocked=int(counts["blocked"] or 0),
+            keyword_hits=int(counts["keyword"] or 0),
+            fetched_ok=ok_count,
+            fetch_failed=counts["scheduled"] - int(counts["blocked"] or 0) - ok_count,
+        )
+
+        # 7. expansion (depth cutoff: children of pages AT max_depth are not
+        #    enqueued, src/main.rs:939-941)
+        enqueued = 0
+        new_bloom_version = bloom_version
+        if r < cfg.max_depth:
+            candidates = ok.select(
+                F.col("seq").alias("parent_seq"),
+                F.posexplode("found_links").alias("pos", "child_url"),
+            )
+            # first-discovery-wins: min (parent_seq, pos) per url — the exact
+            # outcome of the reference's sequential Lua check-and-add under
+            # the canonical single-worker order (src/main.rs:30-45)
+            first = (
+                candidates.groupBy("child_url")
+                .agg(F.min(F.struct("parent_seq", "pos")).alias("first"))
+                .select(
+                    F.col("child_url").alias("url"),
+                    F.col("first.parent_seq").alias("parent_seq"),
+                    F.col("first.pos").alias("pos"),
+                )
+            )
+            metrics["candidates"] = candidates.count()
+
+            first = with_hashes(first, "url", cfg.seen_partitions)
+            if cfg.use_bloom_prefilter:
+                pref = self.bloom.prefilter(first, bloom_version)
+                pref.persist()
+                definite_new = pref.where(~F.col("maybe_seen")).drop("maybe_seen")
+                maybe = pref.where(F.col("maybe_seen")).drop("maybe_seen")
+                maybe_count = maybe.count()
+            else:
+                definite_new = first.where(F.lit(False))
+                maybe = first
+                maybe_count = None
+
+            if r == 0:
+                # Reference quirk (seeder.rs:146; src/main.rs:644-654): seeds
+                # are enqueued WITHOUT a visited-set add — they become seen
+                # only when popped. Under the canonical single-worker order,
+                # a candidate equal to a seed is therefore new iff its
+                # first-discovering parent popped BEFORE that seed:
+                # keep iff parent_seq < min(seed_seq of the url).
+                seed_min = (
+                    cat.read_round("frontier", 0, tbl.FRONTIER_SCHEMA)
+                    .groupBy("url")
+                    .agg(F.min("seq").alias("seed_seq"))
+                )
+                survivors = (
+                    maybe.join(seed_min, on="url", how="left")
+                    .where(F.col("seed_seq").isNull() | (F.col("parent_seq") < F.col("seed_seq")))
+                    .drop("seed_seq")
+                )
+            else:
+                # rounds ≥ 1: every queued URL was visited-set-added at its
+                # enqueue (the Lua script, src/main.rs:30-45), so the exact
+                # anti-join against url_seen is the precise semantics
+                seen = cat.read_rounds("url_seen", list(range(r + 1)), tbl.URL_SEEN_SCHEMA)
+                survivors = maybe.join(seen.select("url"), on="url", how="left_anti")
+            new_urls = definite_new.unionByName(survivors)
+            new_urls = assign_global_seq(
+                new_urls, ["parent_seq", "pos"], base=next_seq, buckets=cfg.shuffle_partitions
+            )
+            next_frontier = new_urls.select(
+                "seq",
+                "url",
+                F.lit(r + 1).cast("int").alias("depth"),
+                udfs.url_host(F.col("url")).alias("host"),
+                udfs.host_key(F.col("url")).alias("host_key"),
+                "h1",
+                "h2",
+                "part",
+            )
+            next_frontier.persist()
+            cat.write_round(
+                "frontier", r + 1, next_frontier.select(*[f.name for f in tbl.FRONTIER_SCHEMA])
+            )
+            seen_delta = next_frontier.select("url", "h1", "h2", "part")
+            cat.write_round("url_seen", r + 1, seen_delta)
+            new_bloom_version = bloom_version + 1
+            self.bloom.insert(
+                cat.read_round("url_seen", r + 1, tbl.URL_SEEN_SCHEMA),
+                bloom_version,
+                new_bloom_version,
+            )
+            enqueued = next_frontier.count()
+            if maybe_count is not None:
+                # anti-join ran only on the maybe-seen rows; the rest were
+                # proven new by the bloom sidecar
+                metrics["bloom"] = {"anti_join_input": maybe_count}
+            next_frontier.unpersist()
+            if cfg.use_bloom_prefilter:
+                pref.unpersist()
+
+        metrics["enqueued"] = enqueued
+        metrics["next_seq"] = next_seq + enqueued
+        metrics["bloom_version"] = new_bloom_version
+        metrics["wall_s"] = round(time.monotonic() - t0, 3)
+        metrics["lineage"] = {
+            t: partition_lineage(cat.round_dir(t, r))
+            for t in ("fetched", "extracted")
+        }
+        metrics["lineage"]["frontier_next"] = partition_lineage(cat.round_dir("frontier", r + 1))
+
+        ok.unpersist()
+        fetched_raw.unpersist()
+        frontier.unpersist()
+        return metrics
+
+    # ------------------------------------------------------------------ run
+    def run(self, seeds_df: DataFrame | None = None, resume: bool = False) -> CrawlTables:
+        """Run (or resume) the crawl to max_depth. `seeds_df` needs columns
+        (raw_url, seed_order) — see sources/seeds.py."""
+        cfg = self.config
+        cat = self.catalog
+
+        last = self.checkpoints.last_committed_round()
+        if resume and last is not None:
+            # drop uncommitted partials, recompute deterministically
+            entry = self.checkpoints.last_entry()
+            next_seq = entry["next_seq"]
+            bloom_version = entry["bloom_version"]
+            for t in ("fetched", "extracted"):
+                cat.drop_rounds_after(t, last)
+            cat.drop_rounds_after("frontier", last + 1)
+            cat.drop_rounds_after("url_seen", last + 1)
+            self.bloom.drop_versions_after(bloom_version)
+            start_round = last + 1
+        else:
+            if seeds_df is None:
+                raise ValueError("seeds_df required for a fresh run")
+            self.checkpoints.reset()
+            for t in ("frontier", "url_seen", "fetched", "extracted"):
+                cat.drop_rounds_after(t, -1)
+            self.bloom.drop_versions_after(-1)
+            frontier0 = self._seed_frontier(seeds_df)
+            frontier0.persist()
+            cat.write_round("frontier", 0, frontier0)
+            seen0 = with_hashes(
+                frontier0.select("url").distinct(), "url", cfg.seen_partitions
+            ).select("url", "h1", "h2", "part")
+            cat.write_round("url_seen", 0, seen0)
+            self.bloom.insert(cat.read_round("url_seen", 0, tbl.URL_SEEN_SCHEMA), None, 0)
+            n_seeds = frontier0.count()
+            frontier0.unpersist()
+            next_seq = n_seeds
+            bloom_version = 0
+            start_round = 0
+
+        all_metrics: list[dict] = []
+        for r in range(start_round, cfg.max_depth + 1):
+            m = self._run_round(r, next_seq, bloom_version)
+            next_seq = m["next_seq"]
+            bloom_version = m["bloom_version"]
+            self.checkpoints.commit(m)
+            all_metrics.append(m)
+            if m["enqueued"] == 0 and r < cfg.max_depth:
+                break  # frontier drained early
+
+        return self.result_tables(all_metrics)
+
+    def result_tables(self, metrics: list[dict] | None = None) -> CrawlTables:
+        committed = [e["round"] for e in self.checkpoints.entries()]
+        rounds = sorted(set(committed))
+        seen_rounds = list(range(0, (max(rounds) + 2) if rounds else 1))
+        return CrawlTables(
+            fetched=self.catalog.read_rounds("fetched", rounds, tbl.FETCHED_SCHEMA),
+            url_seen=self.catalog.read_rounds("url_seen", seen_rounds, tbl.URL_SEEN_SCHEMA),
+            extracted=self.catalog.read_rounds("extracted", rounds, tbl.EXTRACTED_SCHEMA),
+            frontier=self.catalog.read_rounds(
+                "frontier", sorted({*rounds, *[r + 1 for r in rounds]}), tbl.FRONTIER_SCHEMA
+            ),
+            metrics=metrics or self.checkpoints.entries(),
+        )

@@ -1,0 +1,336 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference dedups only URLs (exact set membership, src/main.rs:30-45); a
+web-text corpus at 10^10 pages additionally needs *content* dedup. Every
+operator here is shuffle-conscious:
+
+- exact: one hash-groupBy on md5(text) — map-side partial aggregation, one
+  shuffle, keeps the min doc_id per group (deterministic representative);
+- MinHash: shingle explode -> crc32 (JVM codegen) -> 64 permutation minima as
+  aggregate expressions in ONE groupBy (no Python, no second shuffle);
+  LSH bands turn the quadratic pair search into an equi-join on
+  (band, band_hash) buckets — the only pairs ever materialized are bucket
+  collisions, which is what makes this run at 10^10 docs;
+- SimHash: 64-bit weighted bit votes in a vectorized pandas UDF, near-dup
+  candidates via 4x16-bit band equality (Hamming<=3 guaranteed recall on
+  >=1 identical band), verified by exact Hamming distance;
+- n-gram Jaccard: exact verification operator (and small-scale oracle) —
+  shingle equi-join, never a cross join;
+- embedding cosine: label-blocked pair generation + JVM-side dot product
+  via zip_with/aggregate.
+
+Portability contract: all hash primitives are crc32 (zlib == JVM CRC32 ==
+Spark `F.crc32`), so the pytest oracle recomputes identical signatures in
+pure Python — see tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+NUM_PERM = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+LSH_ROWS = 4
+
+
+def _permutation_params(num_perm: int = NUM_PERM, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME)) for _ in range(num_perm)]
+
+
+def tokens_col(text_col):
+    """Whitespace tokenization — the shared contract with textstats + oracle."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle)."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: (text_hash, keep_id, n_dups). Deterministic
+    representative = min id. Single shuffle, partial agg map-side."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM, k: int = 3
+) -> DataFrame:
+    """(id, sig array<long>) — 64 permutation minima over crc32 shingle
+    hashes, all JVM-side: explode -> crc32 -> one groupBy with num_perm
+    min() aggregates."""
+    sh = word_shingles(df, id_col, text_col, k)
+    h = sh.withColumn("h", F.crc32(F.encode(F.col("shingle"), "UTF-8")))
+    params = _permutation_params(num_perm)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = h.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs colliding in >=1 LSH band. The band hash
+    is xxhash64 over the band's signature slice; the pair search is an
+    equi-join on (band, band_hash) — never a cross join."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = NUM_PERM,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with estimated Jaccard >= threshold:
+    signatures -> LSH buckets -> candidate pairs -> signature-agreement
+    verification (fraction of equal components estimates Jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+    cands = lsh_candidate_pairs(sigs)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = agree / F.lit(num_perm)
+    return (
+        joined.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+# -- pure-Python oracle (pytest verification only) ---------------------------
+
+
+def minhash_signature_py(text: str, num_perm: int = NUM_PERM, k: int = 3) -> list[int]:
+    toks = text.strip().split()
+    shingles = {" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))}
+    shingles = {s for s in shingles if s}
+    params = _permutation_params(num_perm)
+    out = []
+    for a, b in params:
+        out.append(min((a * zlib.crc32(s.encode()) + b) % MINHASH_PRIME for s in shingles))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64_py(text: str) -> int:
+    """64-bit simhash over whitespace tokens, portable primitives only:
+    token hash = crc32(token) | crc32(token + 0x01 byte) << 32. Returns a
+    SIGNED 64-bit int (Spark LongType two's complement)."""
+    votes = [0] * 64
+    for tok in text.strip().split():
+        bt = tok.encode()
+        h = zlib.crc32(bt) | (zlib.crc32(bt + b"\x01") << 32)
+        for bit in range(64):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Vectorized pandas UDF (the bit-vote accumulation is genuinely
+    non-columnar); numpy inner loop over the Arrow batch."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            out[i] = simhash64_py(t or "")
+        return pd.Series(out)
+
+    return df.withColumn(out_col, simhash(F.col(text_col)))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
+    4x16-bit band equality (pigeonhole: Hamming<=3 ⇒ at least one of 4 bands
+    identical), verified by exact popcount — bit_count is JVM-side."""
+    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bh")
+    l, r = bands.alias("l"), bands.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification / small-scale oracle path)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over word k-gram shingle SETS for every pair sharing at
+    least one shingle. Shingle equi-join + two aggregates; quadratic only in
+    actual collisions (use minhash_dedup_pairs as the scale path)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_col(vec_a, vec_b):
+    """JVM-side cosine over array<float/double> columns (zip_with +
+    aggregate, computed in double, left-to-right — matches DuckDB's
+    sequential list_cosine_similarity on DOUBLE[])."""
+    da = F.transform(vec_a, lambda x: x.cast("double"))
+    db = F.transform(vec_b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs with cosine >= threshold, blocked on `block_col`
+    (label / LSH bucket / IVF cell) so the pair join is an equi-join on the
+    block, never a global cross join."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col(block_col).alias("blk")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+    return (
+        pairs.select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine_col(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Dedup operators: Spark results vs pure-Python oracles on testdata docs."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_german_localpoliticans_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120).cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_word_shingles_matches_python(spark, docs):
+    rows = docs.limit(5).collect()
+    sh = dedup.word_shingles(docs.limit(5), "doc_id", "text", 3)
+    got = {}
+    for r in sh.collect():
+        got.setdefault(r["id"], set()).add(r["shingle"])
+    for r in rows:
+        toks = r["text"].strip().split()
+        expected = {" ".join(toks[i : i + 3]) for i in range(max(1, len(toks) - 2))}
+        expected = {s for s in expected if s}
+        assert got[r["doc_id"]] == expected
+
+
+def test_minhash_signature_matches_python_oracle(spark, docs):
+    rows = docs.limit(8).collect()
+    sigs = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(docs.limit(8), "doc_id", "text").collect()
+    }
+    for r in rows:
+        assert sigs[r["doc_id"]] == dedup.minhash_signature_py(r["text"]), r["doc_id"]
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)  # tiny edit -> high jaccard
+    far = "completely different content about spark shuffles and joins " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_matches_python_and_detects_neardups(spark):
+    base = "word " + " ".join(f"token{i}" for i in range(60))
+    near = base + " extra"  # small vote perturbation
+    exact = base  # hamming 0 — banding MUST find it (pigeonhole)
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, exact)], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(df, "text").collect()}
+    for did, text in [(1, base), (2, near), (3, far), (4, exact)]:
+        assert sh[did] == dedup.simhash64_py(text)
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h12 = hamming(sh[1], sh[2])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_dedup_pairs(df, "doc_id", "text", max_hamming=max(3, h12)).collect()
+    }
+    assert pairs[(1, 4)] == 0  # exact dup always found
+    assert (1, 3) not in pairs  # far doc never passes the hamming check
+    if h12 <= 3:  # banding recall guarantee only below 4 bits
+        assert pairs[(1, 2)] == h12
+    for (a, b), h in pairs.items():
+        assert h == hamming(sh[a], sh[b])
+
+
+def test_ngram_jaccard_exact(spark):
+    a = "a b c d e f"
+    b = "a b c d e g"  # shares 2 of the 3-gram sets partially
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.0).collect()
+    assert len(rows) == 1
+    # python oracle
+    sa = {" ".join(a.split()[i : i + 3]) for i in range(4)}
+    sb = {" ".join(b.split()[i : i + 3]) for i in range(4)}
+    expected = len(sa & sb) / len(sa | sb)
+    assert abs(rows[0]["jaccard"] - expected) < 1e-9
+
+
+def test_embedding_neardup_blocked(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.8
+    )
+    rows = pairs.collect()
+    # sanity: every returned pair is same-label and ordered
+    emb_labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert emb_labels[r["id_a"]] == emb_labels[r["id_b"]]
+        assert r["cosine"] >= 0.8
+
+
+def test_crc32_parity_with_zlib(spark):
+    df = spark.createDataFrame([("hello wörld",), ("",), ("a b",)], "s string")
+    rows = df.select("s", F.crc32(F.encode("s", "UTF-8")).alias("c")).collect()
+    for r in rows:
+        assert r["c"] == zlib.crc32(r["s"].encode("utf-8"))

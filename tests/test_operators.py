@@ -1,0 +1,231 @@
+"""Similarity search, text stats, ledger analytics, members pipeline,
+multimodal plumbing, streaming ingest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_german_localpoliticans_spark.operators import (
+    ledger,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# --------------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    scores = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))) for vid, v in vecs.items()
+    }
+    expected = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    got = similarity.cosine_topk_bruteforce(emb, "vec_id", "embedding", list(q), k=10).collect()
+    assert [r["id"] for r in got] == [vid for vid, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert abs(r["score"] - s) < 1e-5
+
+
+def test_ann_lsh_is_subset_and_query_found(spark, emb):
+    rows = emb.limit(1).collect()
+    q = list(rows[0]["embedding"])
+    ann = similarity.ann_topk_lsh(emb, "vec_id", "embedding", q, k=5, n_planes=6)
+    got = ann.collect()
+    assert len(got) >= 1
+    # the query vector itself lives in its own bucket -> always recalled
+    assert got[0]["id"] == rows[0]["vec_id"]
+    assert abs(got[0]["score"] - 1.0) < 1e-6
+
+
+def test_pairwise_topk_blocked(spark, emb):
+    out = similarity.pairwise_topk_blocked(emb.limit(60), "vec_id", "embedding", "label", k=2)
+    pdf = out.toPandas()
+    assert (pdf.groupby("id")["rank"].max() <= 2).all()
+    assert (pdf["id"] != pdf["neighbor"]).all()
+
+
+# --------------------------------------------------------------- textstats
+def test_token_counts(spark):
+    df = spark.createDataFrame([("ab cd  ef", ), ("Hello, world! 42",)], "text string")
+    out = textstats.with_token_counts(df, "text").collect()
+    assert out[0]["n_tokens"] == 3 and out[0]["n_bpe_tokens"] == 3
+    # BPE-ish: Hello , world ! 42 -> 5
+    assert out[1]["n_tokens"] == 3 and out[1]["n_bpe_tokens"] == 5
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "der Gemeinderat ist nicht mit den Plänen zufrieden und das ist gut"),
+            (2, "the council is not happy with the plans and it shows"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang_pred"] for r in textstats.with_lang_id(df, "text").collect()}
+    assert out == {1: "de", 2: "en", 3: "unknown"}
+
+
+def test_quality_score_features(spark, docs):
+    out = textstats.with_quality_score(docs.limit(20), "text").collect()
+    for r in out:
+        assert r["n_chars_calc"] == len(r["text"])
+        assert 0 <= r["punct_ratio"] <= 1
+        assert 0 <= r["quality_score"] <= 1.0
+
+
+def test_fingerprint_matches_python(spark, docs):
+    rows = docs.limit(10).collect()
+    out = {r["doc_id"]: (r["doc_hash"], r["min_gram_hash"]) for r in textstats.with_fingerprint(docs.limit(10), "text").collect()}
+    for r in rows:
+        assert out[r["doc_id"]] == textstats.fingerprint_py(r["text"])
+
+
+# --------------------------------------------------------------- ledger
+def test_url_ledger_min_max(spark):
+    import datetime
+
+    ts = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.de/", 0, ts(2025, 1, 1), ["x"], True, False, False),
+            (5, "https://a.de/", 1, ts(2025, 1, 2), ["x"], True, False, False),
+            (1, "https://b.de/", 0, ts(2025, 1, 1), [], False, False, False),
+        ],
+        "seq long, url string, depth int, scraped_at timestamp, found_links array<string>, keyword_hit boolean, robots_blocked boolean, fetch_failed boolean",
+    )
+    out = {r["url"]: r for r in ledger.url_ledger(df).collect()}
+    assert out["https://a.de/"]["last_depth"] == 0
+    assert out["https://a.de/"]["last_seen_at"] == ts(2025, 1, 2)
+    assert out["https://a.de/"]["n_fetches"] == 2
+
+
+def test_discovered_links_positions(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.de/", 0, None, ["https://c.de/", "https://b.de/"], False, False, False),
+            (1, "https://b.de/", 1, None, ["https://c.de/"], False, False, False),
+        ],
+        "seq long, url string, depth int, scraped_at timestamp, found_links array<string>, keyword_hit boolean, robots_blocked boolean, fetch_failed boolean",
+    )
+    rows = {(r["source_url"], r["target_url"]): r for r in ledger.discovered_links(df).collect()}
+    assert rows[("https://a.de/", "https://c.de/")]["position"] == 0
+    assert rows[("https://a.de/", "https://b.de/")]["position"] == 1
+    assert rows[("https://a.de/", "https://c.de/")]["was_new"] is True
+    assert rows[("https://b.de/", "https://c.de/")]["was_new"] is False
+
+
+def test_members_pipeline_and_merge(spark):
+    payloads = spark.createDataFrame(
+        [
+            (
+                '```json\n{"gemeinde": "Musterstadt", "ratsmitglieder": ['
+                '{"name": "Dr. Hans Müller", "partei": "CDU", "rollen": "Bürgermeister"},'
+                '{"name": "Käthe Groß", "partei": "SPD", "rollen": ["Rätin", "Kämmerin"]},'
+                '{"partei": "FDP"}]}\n```',
+                None,
+                "crawl-html/musterstadt_rathaus.html",
+            ),
+            ('{"name": "Jörg Bäcker"}', "Hintstadt", "f2.html"),
+            ("no json at all", "X", "f3.html"),
+        ],
+        "payload string, municipality_hint string, source_file string",
+    )
+    members = ledger.members_from_payloads(payloads)
+    rows = {r["unique_key"]: r for r in members.collect()}
+    assert set(rows) == {
+        "musterstadt-hans-mueller",
+        "musterstadt-kaethe-gross",
+        "hintstadt-joerg-baecker",
+    }
+    assert rows["musterstadt-hans-mueller"]["roles"] == ["Bürgermeister"]
+    assert rows["musterstadt-kaethe-gross"]["roles"] == ["Rätin", "Kämmerin"]
+    assert rows["musterstadt-hans-mueller"]["source_file"] == "crawl-html/musterstadt_rathaus.html"
+
+    # merge semantics: update wins on conflict, unmatched rows survive
+    current = members.withColumn("updated_at", F.lit("2025-01-01").cast("timestamp"))
+    updates = spark.createDataFrame(
+        [
+            (
+                "musterstadt-hans-mueller",
+                "Dr. Hans Müller",
+                "GRÜNE",
+                "Musterstadt",
+                ["Bürgermeister"],
+                "f9.html",
+                "{}",
+            )
+        ],
+        "unique_key string, full_name string, party string, municipality string, roles array<string>, source_file string, raw_json string",
+    ).withColumn("updated_at", F.lit("2025-02-01").cast("timestamp"))
+    merged = {r["unique_key"]: r for r in ledger.merge_council_members(current, updates).collect()}
+    assert len(merged) == 3
+    assert merged["musterstadt-hans-mueller"]["party"] == "GRÜNE"
+    assert merged["musterstadt-kaethe-gross"]["party"] == "SPD"
+
+    counts = ledger.municipality_counts(members).collect()
+    assert counts[0]["municipality"] == "Musterstadt" and counts[0]["n_members"] == 2
+
+
+# --------------------------------------------------------------- multimodal
+def test_multimodal_features_and_frames(spark):
+    media = multimodal.make_fake_media(spark, n=30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    feats2 = multimodal.extract_features(multimodal.make_fake_media(spark, n=30)).collect()
+    assert sorted((r["media_id"], tuple(r["features"])) for r in feats) == sorted(
+        (r["media_id"], tuple(r["features"])) for r in feats2
+    )
+    frames = multimodal.sample_frames(media).collect()
+    assert len(frames) > 0
+    assert all(f["frame_ts_ms"] % 1000 == 0 for f in frames)
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        multimodal.extract_features(media, decode_backend="real").collect()
+
+
+# --------------------------------------------------------------- streaming
+def test_streaming_ingest_counts(spark, smoke_dir, tmp_path):
+    from crawler_german_localpoliticans_spark.config import CrawlConfig
+    from crawler_german_localpoliticans_spark.plans.crawl import CrawlDriver
+    from crawler_german_localpoliticans_spark.sources.seeds import seeds_from_table
+    from crawler_german_localpoliticans_spark.sources.tables import read_robots
+    from crawler_german_localpoliticans_spark.streaming import stream_fetched_counts
+
+    config = CrawlConfig(seen_partitions=8, shuffle_partitions=8, max_depth=1)
+    robots = read_robots(spark, f"{smoke_dir}/robots.parquet")
+    seeds = seeds_from_table(spark.read.parquet(f"{smoke_dir}/seeds.parquet"))
+    d = CrawlDriver(spark, str(tmp_path / "crawl"), f"{smoke_dir}/pages.parquet", robots, config)
+    tables = d.run(seeds)
+    expected = {
+        r["depth"]: r["n"]
+        for r in tables.fetched.groupBy("depth").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    q = stream_fetched_counts(
+        spark,
+        str(tmp_path / "crawl" / "fetched"),
+        str(tmp_path / "stream_ckpt"),
+        query_name="t_fetched_counts",
+    )
+    q.awaitTermination(120)
+    got = {r["depth"]: r["pages"] for r in spark.sql("select * from t_fetched_counts").collect()}
+    assert got == expected

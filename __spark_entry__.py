@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship iterative crawl over a corpus derived from
+                 /root/testdata/sf0.001 (BFS frontier, robots, politeness,
+                 bloom+anti-join dedup, extraction).
+queries()      — one entry per implemented operator family (SURVEY.md §2 +
+                 the training-data extensions); each callable
+                 (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+                 Float outputs are emitted as round(x*1e6) BIGINTs on BOTH
+                 sides so value hashes are engine-portable.
 """
 
 from __future__ import annotations
@@ -12,27 +16,511 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+# shared literals (Spark + DuckDB sides are generated from these)
+DE_PAT = r"\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b"
+EN_PAT = r"\b(the|and|is|of|to|in|that|it|for|on)\b"
+TOKEN_PAT = r"\S+"
+BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PAT = r"[.,;:!?]"
+GATE_WORDS = ("join", "filter", "window")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _e6(col) -> F.Column:
+    return F.round(col * 1000000).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: iterative BFS crawl (frontier, robots broadcast state,
+    politeness schedule, bloom-prefiltered exact dedup, deterministic
+    (depth, seq) order, pandas-UDF extraction) over the corpus derived from
+    sf0.001 documents."""
+    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
+
+    tables, _ = run_flagship_crawl(spark, SF0001, max_depth=2)
+    return tables.fetched.select(
+        "seq", "url", "depth", "keyword_hit", "robots_blocked", "fetch_failed",
+        F.size("found_links").alias("found_links_count"),
+    ).orderBy("seq")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
+
+    tables, _ = run_flagship_crawl(spark, sf_dir, max_depth=2)
+    return tables.fetched.select(
+        "seq", "url", "depth", "keyword_hit", "robots_blocked",
+        F.size("found_links").alias("found_links_count"),
+    ).orderBy("seq")
+
+
+def _q_crawl_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
+
+    tables, _ = run_flagship_crawl(spark, sf_dir, max_depth=1)
+    return tables.extracted.select("url", "text", "custom_id").orderBy("url")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.2)
+    return pairs.select("id_a", "id_b", _e6(F.col("est_jaccard")).alias("est_jaccard_e6"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.dedup import with_simhash
+
+    return with_simhash(_docs(spark, sf_dir).select("doc_id", "text"), "text").select(
+        "doc_id", "simhash"
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.15)
+    return pairs.select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6"))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.3)
+    return pairs.select("id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6"))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    topk = cosine_topk_bruteforce(emb, "vec_id", "embedding", q, k=10)
+    return topk.select("id", _e6(F.col("score")).alias("score_e6"))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    return ann_topk_lsh(emb, "vec_id", "embedding", q, k=5, n_planes=8).select(
+        "id", _e6(F.col("score")).alias("score_e6")
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.textstats import with_lang_id
+
+    return with_lang_id(_docs(spark, sf_dir), "text").select(
+        "doc_id", "de_hits", "en_hits", "lang_pred"
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.textstats import with_quality_score
+
+    out = with_quality_score(_docs(spark, sf_dir), "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        _e6(F.col("punct_ratio")).alias("punct_ratio_e6"),
+        _e6(F.col("stopword_ratio")).alias("stopword_ratio_e6"),
+        _e6(F.col("mean_token_len")).alias("mean_token_len_e6"),
+        _e6(F.col("quality_score")).alias("quality_score_e6"),
+    )
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.textstats import with_token_counts
+
+    return with_token_counts(_docs(spark, sf_dir), "text").select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.textstats import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir).select("doc_id", "text"), "text").select(
+        "doc_id", "doc_hash", "min_gram_hash"
+    )
+
+
+def _q_keyword_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hay = F.lower(F.col("text"))
+    cond = F.lit(False)
+    for w in GATE_WORDS:
+        cond = cond | hay.contains(F.lit(w))
+    return _docs(spark, sf_dir).select("doc_id", cond.alias("keyword_hit"))
+
+
+def _q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token")
+    )
+
+
+def _q_ledger_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen_at"),
+        F.max("ts").alias("last_seen_at"),
+        F.count(F.lit(1)).alias("n_events"),
+        _e6(F.sum("value")).alias("total_value_e6"),
+    )
+
+
+def _q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.ledger import top_k_by_count
+
+    return top_k_by_count(_docs(spark, sf_dir), "source", k=5).select("source", "n")
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_e2"),
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_price_e2"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long").alias("sum_disc_price_e2"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("revenue_e2"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.functions import udfs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    messy = F.concat(
+        F.lit("HTTPS://Host"),
+        F.col("doc_id").cast("string"),
+        F.lit(".Example.DE:443/a/../seite/"),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        messy.alias("raw_url"),
+        udfs.canonicalize_url(messy).alias("canonical_url"),
+        udfs.host_key(udfs.canonicalize_url(messy)).alias("host_key"),
+        udfs.safe_filename(udfs.canonicalize_url(messy)).alias("safe_filename"),
+    )
+
+
+def _q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.plans.crawl import (
+        build_robots_state,
+        robots_eval_udfs,
+    )
+    from crawler_german_localpoliticans_spark.sources.webcorpus import corpus_from_documents
+
+    pages, _, robots = corpus_from_documents(spark, sf_dir)
+    policies = build_robots_state(spark, robots, __import__(
+        "crawler_german_localpoliticans_spark.config", fromlist=["DEFAULT_CONFIG"]
+    ).DEFAULT_CONFIG)
+    blocked_udf, delay_udf = robots_eval_udfs(spark, policies)
+    from crawler_german_localpoliticans_spark.functions import udfs
+
+    return pages.select(
+        "url",
+        udfs.host_key(F.col("url")).alias("host_key"),
+        blocked_udf(udfs.host_key(F.col("url")), udfs.url_path(F.col("url"))).alias("blocked"),
+        delay_udf(udfs.host_key(F.col("url"))).alias("crawl_delay_ms"),
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        *[_e6(F.element_at("features", i + 1)).alias(f"f{i}_e6") for i in range(FEATURE_DIM)],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_bfs": _q_crawl_bfs,
+        "crawl_extracted": _q_crawl_extracted,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh": _q_ann_lsh,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "keyword_gate": _q_keyword_gate,
+        "posexplode_tokens": _q_posexplode_tokens,
+        "ledger_events": _q_ledger_events,
+        "top_sources": _q_top_sources,
+        "events_window": _q_events_window,
+        "pricing_summary": _q_pricing_summary,
+        "volume_by_nation": _q_volume_by_nation,
+        "url_canonicalize": _q_url_canonicalize,
+        "robots_eval": _q_robots_eval,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    de_re = DE_PAT.replace("\\", "\\")
+    en_re = EN_PAT.replace("\\", "\\")
+    gate_cond = " OR ".join(f"lower(text) LIKE '%{w}%'" for w in GATE_WORDS)
+    return {
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE doc_id < 150
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, greatest(len(t) - 2, 1)),
+                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                    FROM toks
+                ) WHERE length(shingle) > 0
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(round(1000000 * (i * 1.0 / (sa.n + sb.n - i))) AS BIGINT)
+                       AS jaccard_e6
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.15
+        """,
+        "embedding_neardup": """
+            SELECT id_a, id_b, CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6
+            FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+                FROM embeddings a
+                JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.3
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id AS id,
+                   CAST(round(round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), qv), 6) * 1000000) AS BIGINT)
+                       AS score_e6
+            FROM embeddings, q
+            ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+                     DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "lang_id": rf"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '{de_re}')) AS de_hits,
+                   len(regexp_extract_all(lower(text), '{en_re}')) AS en_hits,
+                   CASE
+                     WHEN len(regexp_extract_all(lower(text), '{de_re}')) = 0
+                      AND len(regexp_extract_all(lower(text), '{en_re}')) = 0
+                       THEN 'unknown'
+                     WHEN len(regexp_extract_all(lower(text), '{de_re}'))
+                       >= len(regexp_extract_all(lower(text), '{en_re}'))
+                       THEN 'de'
+                     ELSE 'en'
+                   END AS lang_pred
+            FROM documents
+        """,
+        "quality_score": rf"""
+            WITH feats AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '{TOKEN_PAT}')) AS n_tokens,
+                       len(regexp_extract_all(text, '{PUNCT_PAT}')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '{en_re}'))
+                         + len(regexp_extract_all(lower(text), '{de_re}')) AS n_stop,
+                       len(regexp_extract_all(text, '\s')) AS n_ws
+                FROM documents
+            ),
+            ratios AS (
+                SELECT doc_id, n_tokens,
+                       round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+                       round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+                       round((n_chars - n_ws) * 1.0 / greatest(n_tokens, 1), 6)
+                           AS mean_token_len
+                FROM feats
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(round(punct_ratio * 1000000) AS BIGINT) AS punct_ratio_e6,
+                   CAST(round(stopword_ratio * 1000000) AS BIGINT) AS stopword_ratio_e6,
+                   CAST(round(mean_token_len * 1000000) AS BIGINT) AS mean_token_len_e6,
+                   CAST(round(round(
+                       least(stopword_ratio * 4, 1.0) * 0.4
+                       + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                              THEN 0.4 ELSE 0.1 END
+                       + CASE WHEN punct_ratio <= 0.05 THEN 0.2 ELSE 0.05 END, 6)
+                       * 1000000) AS BIGINT) AS quality_score_e6
+            FROM ratios
+        """,
+        "token_count": rf"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{TOKEN_PAT}')) AS n_tokens,
+                   len(regexp_extract_all(text, '{BPE_PAT}')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "keyword_gate": f"""
+            SELECT doc_id, ({gate_cond}) AS keyword_hit FROM documents
+        """,
+        "posexplode_tokens": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id,
+                   CAST(unnest(generate_series(1, len(t))) - 1 AS INT) AS pos,
+                   unnest(t) AS token
+            FROM toks
+        """,
+        "ledger_events": """
+            SELECT user_id, min(ts) AS first_seen_at, max(ts) AS last_seen_at,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS total_value_e6
+            FROM events GROUP BY user_id
+        """,
+        "top_sources": """
+            SELECT source, count(*) AS n FROM documents
+            GROUP BY source ORDER BY n DESC, source ASC LIMIT 5
+        """,
+        "events_window": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS INT) AS rn,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+                       AS sum_base_price_e2,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                       AS sum_disc_price_e2,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "volume_by_nation": """
+            SELECT n_name,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                       AS revenue_e2,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+    }

@@ -1,0 +1,139 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total headline sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., plus throughput fields}.
+
+Headline metrics mirror BASELINE.json: frontier URLs scheduled+deduped/sec
+(the crawl pipeline: schedule -> robots -> politeness -> fetch-join ->
+link extraction -> candidate dedup) and pages extracted/sec (clean_html +
+text extraction pandas UDFs over every page). Scaling evidence across two
+parallelism levels is produced by scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("crawler-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_BENCH_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+
+def bench_crawl(spark, sf_dir: str) -> dict:
+    """Full iterative crawl over the corpus derived from sf_dir documents.
+    Throughput = (URLs scheduled + candidate links deduped) / wall sec."""
+    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
+
+    t0 = time.monotonic()
+    tables, driver = run_flagship_crawl(spark, sf_dir, max_depth=2)
+    # force full materialization
+    n_fetched = tables.fetched.count()
+    wall = time.monotonic() - t0
+    scheduled = sum(m.get("scheduled", 0) for m in tables.metrics)
+    candidates = sum(m.get("candidates", 0) for m in tables.metrics)
+    return {
+        "sec": wall,
+        "fetched": n_fetched,
+        "urls_scheduled": scheduled,
+        "candidates_deduped": candidates,
+        "urls_per_sec": (scheduled + candidates) / wall if wall > 0 else 0.0,
+    }
+
+
+def bench_extraction(spark, sf_dir: str) -> dict:
+    """clean_html + extract_text pandas UDFs over EVERY derived page (the
+    extraction stage without the keyword gate, to measure UDF throughput)."""
+    from pyspark.sql import functions as F
+
+    from crawler_german_localpoliticans_spark.functions import udfs
+    from crawler_german_localpoliticans_spark.sources.webcorpus import corpus_from_documents
+
+    pages, _, _ = corpus_from_documents(spark, sf_dir)
+    pages = pages.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    t0 = time.monotonic()
+    out = pages.select("url", udfs.clean_extract(F.col("html")).alias("ce")).select(
+        "url", F.col("ce.text").alias("text")
+    )
+    n = out.where(F.length("text") > 0).count()
+    wall = time.monotonic() - t0
+    return {"sec": wall, "pages": n, "pages_per_sec": n / wall if wall > 0 else 0.0}
+
+
+def bench_query(spark, sf_dir: str, fn) -> float:
+    t0 = time.monotonic()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(cpus)
+
+    import __spark_entry__ as entrymod
+
+    queries: dict[str, float] = {}
+
+    crawl = bench_crawl(spark, sf_dir)
+    queries["crawl_pipeline"] = round(crawl["sec"], 3)
+    extraction = bench_extraction(spark, sf_dir)
+    queries["extraction"] = round(extraction["sec"], 3)
+
+    q = entrymod.queries()
+    for name in (
+        "exact_dedup",
+        "minhash_neardup",
+        "simhash",
+        "embedding_neardup",
+        "cosine_topk",
+        "lang_id",
+        "quality_score",
+        "token_count",
+        "fingerprint",
+        "ledger_events",
+        "events_window",
+        "pricing_summary",
+        "volume_by_nation",
+    ):
+        queries[name] = round(bench_query(spark, sf_dir, q[name]), 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline workload wall-clock (crawl pipeline + extraction + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "frontier_urls_scheduled_plus_deduped_per_sec": round(crawl["urls_per_sec"], 1),
+        "pages_extracted_per_sec": round(extraction["pages_per_sec"], 1),
+        "crawl_fetched_pages": crawl["fetched"],
+        "extraction_pages": extraction["pages"],
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,8 +55,8 @@ from ..functions.robots import parse_robots
 from ..sources import tables as tbl
 from .bloom import BloomSidecar, with_hashes
 from .checkpoint import CheckpointLog, partition_lineage
-from .ordering import assign_global_seq
-from .politeness import schedule_wave, wave_politeness_metrics
+from .ordering import assign_global_seq, assign_global_seq_counted
+from .politeness import schedule_wave
 
 
 @dataclass
@@ -151,6 +151,15 @@ class CrawlDriver:
         self.spark = spark
         self.work_dir = work_dir
         self.config = config
+        # without this, persisting the wave freezes a non-AQE plan (no
+        # broadcast conversion, no partition coalescing) — 5-20x slower
+        # rounds; measured in BENCH notes
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+            )
+        except Exception:
+            pass
         os.makedirs(work_dir, exist_ok=True)
         self.catalog = tbl.Catalog(spark, work_dir)
         self.checkpoints = CheckpointLog(work_dir)
@@ -158,6 +167,9 @@ class CrawlDriver:
             work_dir, config.seen_partitions, config.bloom_capacity_per_partition, config.bloom_fpp
         )
         self.pages_path = pages_path
+        # the pages corpus is read once and cached across rounds (at 100 TB
+        # scale: a bucketed-by-url Iceberg table instead of a cache)
+        self.pages = tbl.read_pages(spark, pages_path).persist()
         self.policies = build_robots_state(spark, robots_df, config)
         self.robots_blocked_udf, self.crawl_delay_udf = robots_eval_udfs(spark, self.policies)
 
@@ -185,88 +197,65 @@ class CrawlDriver:
         t0 = time.monotonic()
         metrics: dict = {"round": r}
 
-        frontier = cat.read_round("frontier", r, tbl.FRONTIER_SCHEMA)
-        pages = tbl.read_pages(self.spark, self.pages_path)
-
-        # 1. mark seen: url_seen delta for this round was written when the
-        #    round's frontier was enqueued (seeds at round 0, children at
+        # 1. mark seen: the url_seen delta for this round was written when
+        #    the round's frontier was enqueued (seeds at round 0, children at
         #    expansion) — invariant: url_seen == distinct(frontier.url).
 
         # 2. robots filter (broadcast state; blocked rows stay in seen and in
-        #    fetched with robots_blocked=true, src/main.rs:684-686)
-        frontier = frontier.withColumn("path", udfs.url_path(F.col("url")))
-        frontier = frontier.withColumn(
-            "robots_blocked", self.robots_blocked_udf(F.col("host_key"), F.col("path"))
-        ).withColumn("crawl_delay_ms", self.crawl_delay_udf(F.col("host_key")))
-        frontier = frontier.withColumn(
-            "keyword_hit",
-            udfs.keyword_hit_col(F.col("url"), cfg.keywords, cfg.save_all_html),
-        )
-        frontier.persist()
-
-        blocked = frontier.where(F.col("robots_blocked"))
-        allowed = frontier.where(~F.col("robots_blocked"))
-
-        # 3. politeness schedule over host partitions (priority: keyword
-        #    whitelist first, then FIFO seq; per-host slots + slices)
-        scheduled = schedule_wave(allowed, cfg)
-        metrics["politeness"] = wave_politeness_metrics(scheduled)
-
-        # 4. offline fetch = join against the pages corpus on canonical url
-        fetched_raw = scheduled.join(
-            pages.select("url", "warc_ts", "html"), on="url", how="left"
-        )
-        fetched_raw = fetched_raw.withColumn("fetch_failed", F.col("html").isNull())
-        fetched_raw.persist()
-
-        ok = fetched_raw.where(~F.col("fetch_failed"))
-        ok = ok.withColumn("found_links", udfs.found_links(F.col("url"), F.col("html")))
-        ok.persist()
-
-        # 5. fetched table rows for the wave (robots-blocked + failed + ok)
-        empty_links = F.array().cast("array<string>")
-        fetched_rows = (
-            ok.select(
-                "seq",
-                "url",
-                "depth",
-                F.col("warc_ts").alias("scraped_at"),
-                "found_links",
+        #    fetched with robots_blocked=true, src/main.rs:684-686), keyword
+        #    gate (pure Column expr), politeness schedule (host partitions,
+        #    priority order, per-host slots + slices)
+        frontier = (
+            cat.read_round("frontier", r, tbl.FRONTIER_SCHEMA)
+            .withColumn("path", udfs.url_path(F.col("url")))
+            .withColumn(
+                "robots_blocked", self.robots_blocked_udf(F.col("host_key"), F.col("path"))
+            )
+            .withColumn("crawl_delay_ms", self.crawl_delay_udf(F.col("host_key")))
+            .withColumn(
                 "keyword_hit",
-                F.lit(False).alias("robots_blocked"),
-                F.lit(False).alias("fetch_failed"),
+                udfs.keyword_hit_col(F.col("url"), cfg.keywords, cfg.save_all_html),
             )
-            .unionByName(
-                blocked.select(
-                    "seq",
-                    "url",
-                    "depth",
-                    F.lit(None).cast("timestamp").alias("scraped_at"),
-                    empty_links.alias("found_links"),
-                    "keyword_hit",
-                    F.lit(True).alias("robots_blocked"),
-                    F.lit(False).alias("fetch_failed"),
-                )
+        )
+        scheduled = schedule_wave(frontier.where(~F.col("robots_blocked")), cfg)
+        wave = frontier.where(F.col("robots_blocked")).unionByName(
+            scheduled, allowMissingColumns=True
+        )
+
+        # 3. offline fetch = join against the pages corpus on canonical url
+        #    (BASELINE input_hint), then the link pipeline as ONE Arrow pass
+        ok_col = ~F.col("robots_blocked") & F.col("html").isNotNull()
+        wave = (
+            wave.join(self.pages.select("url", "warc_ts", "html"), on="url", how="left")
+            .withColumn("fetch_failed", ~F.col("robots_blocked") & F.col("html").isNull())
+            .withColumn(
+                "found_links",
+                F.when(ok_col, udfs.found_links(F.col("url"), F.col("html"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
             )
-            .unionByName(
-                fetched_raw.where(F.col("fetch_failed")).select(
-                    "seq",
-                    "url",
-                    "depth",
-                    F.lit(None).cast("timestamp").alias("scraped_at"),
-                    empty_links.alias("found_links"),
-                    "keyword_hit",
-                    F.lit(False).alias("robots_blocked"),
-                    F.lit(True).alias("fetch_failed"),
-                )
-            )
+            .withColumn("ok", ok_col)
+        )
+        wave.persist()
+
+        # 4. fetched table rows for the whole wave
+        fetched_rows = wave.select(
+            "seq",
+            "url",
+            "depth",
+            F.when(F.col("ok"), F.col("warc_ts")).alias("scraped_at"),
+            "found_links",
+            "keyword_hit",
+            "robots_blocked",
+            "fetch_failed",
         )
         cat.write_round("fetched", r, fetched_rows)
 
-        # 6. extraction stage: keyword-gated pages only (src/main.rs:824)
-        gated = ok.where(F.col("keyword_hit"))
+        # 5. extraction stage: keyword-gated fetched pages only
+        #    (src/main.rs:824); clean_html + text in one pandas UDF
         extracted = (
-            gated.withColumn("ce", udfs.clean_extract(F.col("html")))
+            wave.where(F.col("ok") & F.col("keyword_hit"))
+            .withColumn("ce", udfs.clean_extract(F.col("html")))
             .select(
                 "url",
                 F.col("ce.clean_html").alias("clean_html"),
@@ -276,18 +265,32 @@ class CrawlDriver:
         )
         cat.write_round("extracted", r, extracted)
 
-        counts = frontier.agg(
+        # 6. ONE aggregate for every wave counter + politeness metrics
+        stats = wave.agg(
             F.count(F.lit(1)).alias("scheduled"),
             F.sum(F.col("robots_blocked").cast("long")).alias("blocked"),
             F.sum(F.col("keyword_hit").cast("long")).alias("keyword"),
+            F.sum(F.col("ok").cast("long")).alias("ok"),
+            F.sum(F.when(F.col("ok"), F.size("found_links")).otherwise(0)).alias("cand"),
+            F.countDistinct("host").alias("hosts"),
+            F.max("host_slot").alias("max_host_slot"),
+            F.max(F.col("sched_offset_ms") + F.col("effective_delay_ms")).alias("sim_ms"),
+            F.max("slice").alias("max_slice"),
         ).collect()[0]
-        ok_count = ok.count()
+        ok_count = int(stats["ok"] or 0)
         metrics.update(
-            scheduled=counts["scheduled"],
-            robots_blocked=int(counts["blocked"] or 0),
-            keyword_hits=int(counts["keyword"] or 0),
+            scheduled=stats["scheduled"],
+            robots_blocked=int(stats["blocked"] or 0),
+            keyword_hits=int(stats["keyword"] or 0),
             fetched_ok=ok_count,
-            fetch_failed=counts["scheduled"] - int(counts["blocked"] or 0) - ok_count,
+            fetch_failed=stats["scheduled"] - int(stats["blocked"] or 0) - ok_count,
+            candidates=int(stats["cand"] or 0),
+            politeness={
+                "hosts": stats["hosts"] or 0,
+                "max_pages_per_host": (stats["max_host_slot"] if stats["max_host_slot"] is not None else -1) + 1,
+                "simulated_wave_ms": int(stats["sim_ms"] or 0),
+                "slices": (stats["max_slice"] or 0) + 1,
+            },
         )
 
         # 7. expansion (depth cutoff: children of pages AT max_depth are not
@@ -295,7 +298,7 @@ class CrawlDriver:
         enqueued = 0
         new_bloom_version = bloom_version
         if r < cfg.max_depth:
-            candidates = ok.select(
+            candidates = wave.where(F.col("ok")).select(
                 F.col("seq").alias("parent_seq"),
                 F.posexplode("found_links").alias("pos", "child_url"),
             )
@@ -311,19 +314,14 @@ class CrawlDriver:
                     F.col("first.pos").alias("pos"),
                 )
             )
-            metrics["candidates"] = candidates.count()
-
             first = with_hashes(first, "url", cfg.seen_partitions)
             if cfg.use_bloom_prefilter:
                 pref = self.bloom.prefilter(first, bloom_version)
-                pref.persist()
                 definite_new = pref.where(~F.col("maybe_seen")).drop("maybe_seen")
                 maybe = pref.where(F.col("maybe_seen")).drop("maybe_seen")
-                maybe_count = maybe.count()
             else:
                 definite_new = first.where(F.lit(False))
                 maybe = first
-                maybe_count = None
 
             if r == 0:
                 # Reference quirk (seeder.rs:146; src/main.rs:644-654): seeds
@@ -348,9 +346,11 @@ class CrawlDriver:
                 # anti-join against url_seen is the precise semantics
                 seen = cat.read_rounds("url_seen", list(range(r + 1)), tbl.URL_SEEN_SCHEMA)
                 survivors = maybe.join(seen.select("url"), on="url", how="left_anti")
-            new_urls = definite_new.unionByName(survivors)
-            new_urls = assign_global_seq(
-                new_urls, ["parent_seq", "pos"], base=next_seq, buckets=cfg.shuffle_partitions
+            new_urls, enqueued = assign_global_seq_counted(
+                definite_new.unionByName(survivors),
+                ["parent_seq", "pos"],
+                base=next_seq,
+                buckets=cfg.shuffle_partitions,
             )
             next_frontier = new_urls.select(
                 "seq",
@@ -366,22 +366,12 @@ class CrawlDriver:
             cat.write_round(
                 "frontier", r + 1, next_frontier.select(*[f.name for f in tbl.FRONTIER_SCHEMA])
             )
-            seen_delta = next_frontier.select("url", "h1", "h2", "part")
-            cat.write_round("url_seen", r + 1, seen_delta)
+            cat.write_round("url_seen", r + 1, next_frontier.select("url", "h1", "h2", "part"))
             new_bloom_version = bloom_version + 1
             self.bloom.insert(
-                cat.read_round("url_seen", r + 1, tbl.URL_SEEN_SCHEMA),
-                bloom_version,
-                new_bloom_version,
+                next_frontier.select("part", "h1", "h2"), bloom_version, new_bloom_version
             )
-            enqueued = next_frontier.count()
-            if maybe_count is not None:
-                # anti-join ran only on the maybe-seen rows; the rest were
-                # proven new by the bloom sidecar
-                metrics["bloom"] = {"anti_join_input": maybe_count}
             next_frontier.unpersist()
-            if cfg.use_bloom_prefilter:
-                pref.unpersist()
 
         metrics["enqueued"] = enqueued
         metrics["next_seq"] = next_seq + enqueued
@@ -393,9 +383,7 @@ class CrawlDriver:
         }
         metrics["lineage"]["frontier_next"] = partition_lineage(cat.round_dir("frontier", r + 1))
 
-        ok.unpersist()
-        fetched_raw.unpersist()
-        frontier.unpersist()
+        wave.unpersist()
         return metrics
 
     # ------------------------------------------------------------------ run

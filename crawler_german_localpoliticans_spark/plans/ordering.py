@@ -30,12 +30,26 @@ def assign_global_seq(
 ) -> DataFrame:
     """Add `out_col` = base + 0-based dense position of the row in the total
     order defined by `order_cols` (which must be duplicate-free)."""
+    out, _ = assign_global_seq_counted(df, order_cols, base, buckets, out_col)
+    return out
+
+
+def assign_global_seq_counted(
+    df: DataFrame,
+    order_cols: list[str],
+    base: int = 0,
+    buckets: int = 32,
+    out_col: str = "seq",
+) -> tuple[DataFrame, int]:
+    """Like assign_global_seq, also returning the total row count — the
+    per-bucket counts already pay for it, so callers never need an extra
+    count() action."""
     lead = order_cols[0]
     bounds = df.agg(
         F.min(lead).alias("lo"), F.max(lead).alias("hi"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     if bounds["n"] == 0:
-        return df.withColumn(out_col, F.lit(0).cast("long"))
+        return df.withColumn(out_col, F.lit(0).cast("long")), 0
     lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo) + 1 if hi is not None else 1
     bucket = (
@@ -56,8 +70,9 @@ def assign_global_seq(
     offsets_df = spark.createDataFrame(
         [(b, o) for b, o in offsets.items()], "_bucket int, _offset long"
     )
-    return (
+    out = (
         df.join(F.broadcast(offsets_df), "_bucket")
         .withColumn(out_col, (F.lit(base) + F.col("_offset") + F.col("_local") - 1).cast("long"))
         .drop("_bucket", "_local", "_offset")
     )
+    return out, acc

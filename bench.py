@@ -34,7 +34,8 @@ def build_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .getOrCreate()
     )
 

@@ -73,11 +73,13 @@ def custom_id_from_url(urls: pd.Series) -> pd.Series:
 def found_links(page_urls: pd.Series, htmls: pd.Series) -> pd.Series:
     """X1+X2: the full per-page link pipeline — extract a[href] in document
     order, trim+resolve against the page URL, http(s) filter, canonicalize,
-    sorted-unique (src/main.rs:859-909)."""
+    sorted-unique (src/main.rs:859-909). A per-batch memo dedupes the
+    resolution of repeated hrefs (hot links recur on nearly every page)."""
     from ..plans.oracle import page_found_links
 
+    cache: dict = {}
     return pd.Series(
-        [page_found_links(u, h) for u, h in zip(page_urls, htmls)]
+        [page_found_links(u, h, cache) for u, h in zip(page_urls, htmls)]
     )
 
 

@@ -68,13 +68,29 @@ def sorted_unique(links: list[str]) -> list[str]:
     return sorted(set(links))
 
 
-def page_found_links(page_url: str, html: bytes | str | None) -> list[str]:
+def page_found_links(
+    page_url: str, html: bytes | str | None, _cache: dict | None = None
+) -> list[str]:
     """The full per-page link pipeline (src/main.rs:859-909): extract a[href]
     in document order, trim + resolve against the page URL, keep http(s),
-    canonicalize, sorted-unique."""
+    canonicalize, sorted-unique.
+
+    `_cache` memoizes href resolution across a batch (udfs.found_links):
+    absolute http(s) hrefs resolve independently of the base URL, so they
+    cache on the trimmed href alone; relative hrefs cache on (base, href).
+    Pure memoization — results are bit-identical with or without it.
+    """
     out: list[str] = []
     for href in extract_links(html):
-        resolved = join_url(page_url, href)
+        if _cache is not None:
+            h = href.strip()
+            key = h if h.startswith(("http://", "https://")) else (page_url, h)
+            resolved = _cache.get(key, 0)
+            if resolved == 0:
+                resolved = join_url(page_url, h)
+                _cache[key] = resolved
+        else:
+            resolved = join_url(page_url, href)
         if resolved is None or not is_http_scheme(resolved):
             continue
         out.append(resolved)

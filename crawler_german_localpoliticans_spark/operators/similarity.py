@@ -95,15 +95,25 @@ def pairwise_topk_blocked(
     from pyspark.sql import Window
 
     base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(block_col).alias("blk"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("vec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v)),
     )
     l, r = base.alias("l"), base.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     pairs = (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") != F.col("r.id")))
         .select(
             F.col("l.id").alias("id"),
             F.col("r.id").alias("neighbor"),
-            F.round(cosine_col(F.col("l.vec"), F.col("r.vec")), 6).alias("score"),
+            F.round(dot / (F.col("l.norm") * F.col("r.norm")), 6).alias("score"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("neighbor").asc())

@@ -1,0 +1,63 @@
+"""Politeness scheduler unit tests (FIXTURES.md scenario 4; reference
+semantics src/main.rs:688-700, :149-161)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_german_localpoliticans_spark.config import CrawlConfig
+from crawler_german_localpoliticans_spark.plans.politeness import schedule_wave
+
+
+def wave_df(spark, n_a=10, n_b=3):
+    rows = [(i, f"https://a.de/s{i}", "a.de", i % 3 == 0, 5000) for i in range(n_a)]
+    rows += [(100 + i, f"https://b.de/s{i}", "b.de", False, None) for i in range(n_b)]
+    return spark.createDataFrame(
+        rows, "seq long, url string, host string, keyword_hit boolean, crawl_delay_ms long"
+    )
+
+
+def test_effective_delay_is_max_of_config_and_robots(spark):
+    cfg = CrawlConfig(politeness_delay_ms=2000)
+    out = schedule_wave(wave_df(spark), cfg).select("host", "effective_delay_ms").distinct()
+    got = {r["host"]: r["effective_delay_ms"] for r in out.collect()}
+    assert got == {"a.de": 5000, "b.de": 2000}  # robots 5s beats 2s; None -> config
+
+
+def test_priority_order_keyword_first_then_seq(spark):
+    cfg = CrawlConfig()
+    out = schedule_wave(wave_df(spark), cfg)
+    a = {r["seq"]: r["host_slot"] for r in out.where(F.col("host") == "a.de").collect()}
+    # keyword rows (seq 0,3,6,9) occupy the first slots in seq order
+    assert a[0] == 0 and a[3] == 1 and a[6] == 2 and a[9] == 3
+    assert a[1] == 4  # first non-keyword row follows
+
+
+def test_per_host_rate_cap_honored(spark):
+    # host a.de: delay 5000ms, budget 10000ms -> cap 2 pages/slice
+    cfg = CrawlConfig(politeness_delay_ms=2000, slice_budget_ms=10000)
+    out = schedule_wave(wave_df(spark), cfg)
+    sizes = (
+        out.groupBy("host", "slice").count().collect()
+    )
+    for r in sizes:
+        cap = 2 if r["host"] == "a.de" else 5  # b.de: 10000/2000 = 5
+        assert r["count"] <= cap, (r["host"], r["slice"], r["count"])
+    # a.de's 10 pages need ceil(10/2)=5 slices
+    a_slices = out.where(F.col("host") == "a.de").agg(F.max("slice")).collect()[0][0]
+    assert a_slices == 4
+
+
+def test_hard_cap_overrides(spark):
+    cfg = CrawlConfig(slice_budget_ms=100000, max_pages_per_host_per_slice=1)
+    out = schedule_wave(wave_df(spark), cfg)
+    sizes = out.groupBy("host", "slice").count().collect()
+    assert all(r["count"] == 1 for r in sizes)
+
+
+def test_sched_offset_spacing(spark):
+    cfg = CrawlConfig(politeness_delay_ms=2000)
+    out = schedule_wave(wave_df(spark), cfg).where(F.col("host") == "a.de")
+    offs = sorted(r["sched_offset_ms"] for r in out.collect())
+    # consecutive fetches of one host are spaced by the effective delay
+    assert offs == [i * 5000 for i in range(10)]

@@ -322,6 +322,58 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(emb, "vec_id", "embedding", q, k=5, n_cells=8, nprobe=2).select(
+        "id", _e6(F.col("score")).alias("score_e6")
+    )
+
+
+def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_e2"),
+        )
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_spenders = o.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    inter = building.intersect(big_spenders).withColumn("op", F.lit("intersect"))
+    exc = building.exceptAll(big_spenders.distinct()).distinct().withColumn("op", F.lit("except"))
+    return inter.unionByName(exc).select("op", "custkey")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess).over(wsum).alias("session_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_bfs": _q_crawl_bfs,
@@ -333,6 +385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "rollup_pricing": _q_rollup_pricing,
+        "set_ops": _q_set_ops,
+        "sessionize": _q_sessionize,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
@@ -499,6 +555,39 @@ def oracle_sql() -> dict[str, str]:
                    lag(event_type) OVER w AS prev_type
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+            WITH building AS (
+                SELECT c_custkey AS custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            ),
+            big AS (
+                SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+            )
+            SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM big)
+            UNION ALL
+            SELECT 'except' AS op, custkey FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM big)
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT event_id, user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts - lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess,
+                       ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

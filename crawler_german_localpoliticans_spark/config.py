@@ -41,7 +41,12 @@ class CrawlConfig:
     slice_budget_ms: int = 0
     # per-host hard cap per slice as a skew guard (0 = unlimited)
     max_pages_per_host_per_slice: int = 0
-    salt_buckets: int = 8  # salting factor for hot-host skew in fetch/extract
+    # hot-host skew salting for the politeness window (plans/politeness.py):
+    # 1 = exact single-window schedule (reference-faithful slot order);
+    # >1 = salted two-phase slots for hosts with massive waves — crawl
+    # RESULTS are identical either way (slots are scheduling artifacts),
+    # only the wave's task balance changes; raise at 10^10 scale
+    salt_buckets: int = 1
 
     def effective_keywords(self) -> list[str]:
         from .functions.keywords import effective_keywords

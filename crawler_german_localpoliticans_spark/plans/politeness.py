@@ -45,10 +45,30 @@ def schedule_wave(allowed: DataFrame, config: CrawlConfig) -> DataFrame:
     df = allowed.withColumn(
         "effective_delay_ms", effective_delay_col(F.col("crawl_delay_ms"), config)
     )
-    w = Window.partitionBy("host").orderBy(
-        F.col("keyword_hit").desc(), F.col("seq").asc()
-    )
-    df = df.withColumn("host_slot", F.row_number().over(w) - F.lit(1))
+    if config.salt_buckets > 1:
+        # Hot-host skew handling (north rule: "salting + per-host rate
+        # caps"): a single window partition per host puts a 100x-in-link
+        # host's whole wave in ONE task. Salt the partition key with
+        # pmod(xxhash64(url), S) and interleave: slot = local_rank*S + salt.
+        # Slots stay injective per host, so slice caps still bound every
+        # host exactly; priority order is preserved within each salt bucket
+        # (keyword-first, then seq) and approximate across buckets — the
+        # schedule is a scheduling artifact, never an ordering key, so
+        # result parity is untouched (asserted in tests).
+        salt = F.pmod(F.xxhash64("url"), F.lit(config.salt_buckets)).cast("int")
+        df = df.withColumn("_salt", salt)
+        w = Window.partitionBy("host", "_salt").orderBy(
+            F.col("keyword_hit").desc(), F.col("seq").asc()
+        )
+        df = df.withColumn(
+            "host_slot",
+            ((F.row_number().over(w) - F.lit(1)) * F.lit(config.salt_buckets) + F.col("_salt")),
+        ).drop("_salt")
+    else:
+        w = Window.partitionBy("host").orderBy(
+            F.col("keyword_hit").desc(), F.col("seq").asc()
+        )
+        df = df.withColumn("host_slot", F.row_number().over(w) - F.lit(1))
     df = df.withColumn(
         "sched_offset_ms", F.col("host_slot") * F.col("effective_delay_ms")
     )

@@ -55,6 +55,40 @@ def test_hard_cap_overrides(spark):
     assert all(r["count"] == 1 for r in sizes)
 
 
+def test_salted_schedule_slots_injective_and_caps_hold(spark):
+    """FIXTURES.md scenario 2 (hot host): salted window partitioning keeps
+    per-host slots unique, so slice caps still bound every host."""
+    cfg = CrawlConfig(politeness_delay_ms=2000, slice_budget_ms=10000, salt_buckets=4)
+    out = schedule_wave(wave_df(spark, n_a=40), cfg)
+    a = out.where(F.col("host") == "a.de").collect()
+    slots = [r["host_slot"] for r in a]
+    assert len(set(slots)) == len(slots)  # injective per host
+    sizes = out.groupBy("host", "slice").count().collect()
+    for r in sizes:
+        cap = 2 if r["host"] == "a.de" else 5
+        assert r["count"] <= cap
+
+
+def test_salting_does_not_change_crawl_results(spark, smoke_fixture, smoke_dir, tmp_path):
+    from crawler_german_localpoliticans_spark.plans.oracle import crawl_oracle
+    from crawler_german_localpoliticans_spark.plans.crawl import CrawlDriver
+    from crawler_german_localpoliticans_spark.sources.seeds import seeds_from_table
+    from crawler_german_localpoliticans_spark.sources.tables import read_robots
+
+    cfg = CrawlConfig(salt_buckets=4, seen_partitions=8, shuffle_partitions=8)
+    oracle_res = crawl_oracle(smoke_fixture.seeds, smoke_fixture.pages, smoke_fixture.robots, cfg)
+    robots = read_robots(spark, f"{smoke_dir}/robots.parquet")
+    seeds = seeds_from_table(spark.read.parquet(f"{smoke_dir}/seeds.parquet"))
+    d = CrawlDriver(spark, str(tmp_path), f"{smoke_dir}/pages.parquet", robots, cfg)
+    tables = d.run(seeds)
+    engine_order = [
+        (r["depth"], r["seq"], r["url"])
+        for r in tables.fetched.select("depth", "seq", "url").orderBy("seq").collect()
+    ]
+    assert engine_order == oracle_res.crawl_order
+    assert {r["url"] for r in tables.url_seen.select("url").collect()} == oracle_res.url_seen
+
+
 def test_sched_offset_spacing(spark):
     cfg = CrawlConfig(politeness_delay_ms=2000)
     out = schedule_wave(wave_df(spark), cfg).where(F.col("host") == "a.de")

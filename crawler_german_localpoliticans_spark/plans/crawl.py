@@ -238,8 +238,23 @@ class CrawlDriver:
         )
         wave.persist()
 
-        # 4. fetched table rows for the whole wave
-        fetched_rows = wave.select(
+        # 4. fetched table rows for the whole wave; wave counters ride along
+        #    as observed metrics on the write job (no second pass)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"wave-{r}")
+        fetched_rows = wave.observe(
+            obs,
+            F.count(F.lit(1)).alias("scheduled"),
+            F.sum(F.col("robots_blocked").cast("long")).alias("blocked"),
+            F.sum(F.col("keyword_hit").cast("long")).alias("keyword"),
+            F.sum(F.col("ok").cast("long")).alias("ok"),
+            F.sum(F.when(F.col("ok"), F.size("found_links")).otherwise(0)).alias("cand"),
+            F.approx_count_distinct("host").alias("hosts"),
+            F.max("host_slot").alias("max_host_slot"),
+            F.max(F.col("sched_offset_ms") + F.col("effective_delay_ms")).alias("sim_ms"),
+            F.max("slice").alias("max_slice"),
+        ).select(
             "seq",
             "url",
             "depth",
@@ -265,18 +280,8 @@ class CrawlDriver:
         )
         cat.write_round("extracted", r, extracted)
 
-        # 6. ONE aggregate for every wave counter + politeness metrics
-        stats = wave.agg(
-            F.count(F.lit(1)).alias("scheduled"),
-            F.sum(F.col("robots_blocked").cast("long")).alias("blocked"),
-            F.sum(F.col("keyword_hit").cast("long")).alias("keyword"),
-            F.sum(F.col("ok").cast("long")).alias("ok"),
-            F.sum(F.when(F.col("ok"), F.size("found_links")).otherwise(0)).alias("cand"),
-            F.countDistinct("host").alias("hosts"),
-            F.max("host_slot").alias("max_host_slot"),
-            F.max(F.col("sched_offset_ms") + F.col("effective_delay_ms")).alias("sim_ms"),
-            F.max("slice").alias("max_slice"),
-        ).collect()[0]
+        # 6. wave counters + politeness metrics came from the observed write
+        stats = obs.get
         ok_count = int(stats["ok"] or 0)
         metrics.update(
             scheduled=stats["scheduled"],
@@ -349,8 +354,11 @@ class CrawlDriver:
                 # url column from the frontier round dirs
                 seen = cat.read_rounds("frontier", list(range(r + 1)), tbl.FRONTIER_SCHEMA)
                 survivors = maybe.join(seen.select("url"), on="url", how="left_anti")
+            # the dedup chain (prefilter + anti-join) feeds three consumers
+            # (seq bounds, bucket counts, frontier write) — persist it once
+            pre_seq = definite_new.unionByName(survivors).persist()
             new_urls, enqueued = assign_global_seq_counted(
-                definite_new.unionByName(survivors),
+                pre_seq,
                 ["parent_seq", "pos"],
                 base=next_seq,
                 buckets=cfg.shuffle_partitions,
@@ -374,6 +382,7 @@ class CrawlDriver:
                 next_frontier.select("part", "h1", "h2"), bloom_version, new_bloom_version
             )
             next_frontier.unpersist()
+            pre_seq.unpersist()
 
         metrics["enqueued"] = enqueued
         metrics["next_seq"] = next_seq + enqueued

@@ -11,6 +11,14 @@ from pyspark.sql import functions as F
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def clear_cache(spark):
+    # other modules cache the same parquet tables; a cache hit rewrites the
+    # scan to InMemoryTableScan and hides the pushdown we assert on
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 

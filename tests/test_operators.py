@@ -221,6 +221,38 @@ def test_multimodal_features_and_frames(spark):
 
 
 # --------------------------------------------------------------- streaming
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over a file stream equals the
+    batch plan on the same data (availableNow drains everything, so no rows
+    are dropped as late)."""
+    import shutil
+
+    from crawler_german_localpoliticans_spark.streaming.windows import (
+        stream_windowed_event_counts,
+        windowed_event_counts,
+    )
+
+    events_dir = str(tmp_path / "events")
+    (tmp_path / "events").mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir)
+
+    batch = windowed_event_counts(spark.read.parquet(events_dir))
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    q = stream_windowed_event_counts(
+        spark, events_dir, str(tmp_path / "ckpt"), query_name="t_event_windows"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from t_event_windows").collect()
+    }
+    assert got == expected
+    assert len(got) > 10
+
+
 def test_streaming_ingest_counts(spark, smoke_dir, tmp_path):
     from crawler_german_localpoliticans_spark.config import CrawlConfig
     from crawler_german_localpoliticans_spark.plans.crawl import CrawlDriver

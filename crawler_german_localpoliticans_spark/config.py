@@ -41,6 +41,11 @@ class CrawlConfig:
     slice_budget_ms: int = 0
     # per-host hard cap per slice as a skew guard (0 = unlimited)
     max_pages_per_host_per_slice: int = 0
+    # execute each wave slice-by-slice (sequential fetch materialization in
+    # politeness order) instead of as one batch; results are identical
+    # either way (expansion is depth-synchronized) — this mode makes the
+    # crawl-delay budget operationally gate the fetch work
+    execute_by_slice: bool = False
     # hot-host skew salting for the politeness window (plans/politeness.py):
     # 1 = exact single-window schedule (reference-faithful slot order);
     # >1 = salted two-phase slots for hosts with massive waves — crawl

@@ -242,9 +242,19 @@ class CrawlDriver:
         #    as observed metrics on the write job (no second pass)
         from pyspark.sql import Observation
 
-        obs = Observation(f"wave-{r}")
-        fetched_rows = wave.observe(
-            obs,
+        def fetched_select(df):
+            return df.select(
+                "seq",
+                "url",
+                "depth",
+                F.when(F.col("ok"), F.col("warc_ts")).alias("scraped_at"),
+                "found_links",
+                "keyword_hit",
+                "robots_blocked",
+                "fetch_failed",
+            )
+
+        wave_aggs = [
             F.count(F.lit(1)).alias("scheduled"),
             F.sum(F.col("robots_blocked").cast("long")).alias("blocked"),
             F.sum(F.col("keyword_hit").cast("long")).alias("keyword"),
@@ -254,17 +264,24 @@ class CrawlDriver:
             F.max("host_slot").alias("max_host_slot"),
             F.max(F.col("sched_offset_ms") + F.col("effective_delay_ms")).alias("sim_ms"),
             F.max("slice").alias("max_slice"),
-        ).select(
-            "seq",
-            "url",
-            "depth",
-            F.when(F.col("ok"), F.col("warc_ts")).alias("scraped_at"),
-            "found_links",
-            "keyword_hit",
-            "robots_blocked",
-            "fetch_failed",
-        )
-        cat.write_round("fetched", r, fetched_rows)
+        ]
+        if cfg.execute_by_slice:
+            # sequential slice materialization: slice s's fetch work runs
+            # (and lands in the round dir) before slice s+1 starts —
+            # robots-blocked rows (never fetched) ride with slice 0
+            n_slices = wave.agg(F.max("slice")).collect()[0][0]
+            n_slices = int(n_slices) if n_slices is not None else 0
+            slice_col = F.coalesce(F.col("slice"), F.lit(0))
+            cat.write_round_parts(
+                "fetched",
+                r,
+                [fetched_select(wave.where(slice_col == s)) for s in range(n_slices + 1)],
+            )
+            stats = wave.agg(*wave_aggs).collect()[0]
+        else:
+            obs = Observation(f"wave-{r}")
+            cat.write_round("fetched", r, fetched_select(wave.observe(obs, *wave_aggs)))
+            stats = None  # resolved below after the write ran
 
         # 5. extraction stage: keyword-gated fetched pages only
         #    (src/main.rs:824); clean_html + text in one pandas UDF
@@ -280,8 +297,10 @@ class CrawlDriver:
         )
         cat.write_round("extracted", r, extracted)
 
-        # 6. wave counters + politeness metrics came from the observed write
-        stats = obs.get
+        # 6. wave counters + politeness metrics (observed on the write job,
+        #    or aggregated once in slice-execution mode)
+        if stats is None:
+            stats = obs.get
         ok_count = int(stats["ok"] or 0)
         metrics.update(
             scheduled=stats["scheduled"],

@@ -129,6 +129,18 @@ class Catalog:
             shutil.rmtree(final)
         os.rename(tmp, final)
 
+    def write_round_parts(self, table: str, round_no: int, dfs: list[DataFrame]) -> None:
+        """Atomic multi-part round write: each df is materialized IN ORDER
+        (sequential appends into the temp dir — the politeness slice
+        execution order), then the whole round becomes visible at once."""
+        final = self.round_dir(table, round_no)
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        for df in dfs:
+            df.write.mode("append").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
     def has_round(self, table: str, round_no: int) -> bool:
         return os.path.isdir(self.round_dir(table, round_no))
 

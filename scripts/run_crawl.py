@@ -43,6 +43,7 @@ def main() -> None:
     p.add_argument("--seen-partitions", type=int, default=32)
     p.add_argument("--shuffle-partitions", type=int, default=0, help="0 = keep session value")
     p.add_argument("--slice-budget-ms", type=int, default=0)
+    p.add_argument("--execute-by-slice", action="store_true")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,6 +68,7 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         seen_partitions=args.seen_partitions,
         slice_budget_ms=args.slice_budget_ms,
+        execute_by_slice=args.execute_by_slice,
     )
     driver = CrawlDriver(spark, args.work_dir, args.pages, read_robots(spark, args.robots), config)
     if args.resume:

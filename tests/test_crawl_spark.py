@@ -83,10 +83,12 @@ def test_correctness_exact_match(spark, correctness_fixture, correctness_dir, tm
 
 
 def test_politeness_slicing_does_not_change_results(spark, smoke_fixture, smoke_dir, tmp_path):
-    """FIXTURES.md scenario 4: per-host rate caps honored, results unchanged."""
+    """FIXTURES.md scenario 4: per-host rate caps honored — and actually
+    EXECUTED slice-by-slice — with results unchanged."""
     config = CrawlConfig(
         slice_budget_ms=4000,  # cap = 4000/eff_delay pages per host per slice
         max_pages_per_host_per_slice=2,
+        execute_by_slice=True,
         seen_partitions=8,
         shuffle_partitions=8,
     )

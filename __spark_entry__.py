@@ -71,6 +71,24 @@ def _q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq")
 
 
+def _q_crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship crawl's fetched table minus the seq column — membership,
+    depth, flags and per-page link counts are fully SQL-expressible over the
+    derived corpus (the link graph is modular arithmetic), so THIS query is
+    hash-checked against a DuckDB oracle; crawl_bfs keeps the seq column and
+    the rows-only check."""
+    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
+
+    tables, _ = run_flagship_crawl(spark, sf_dir, max_depth=2)
+    return tables.fetched.select(
+        "url",
+        "depth",
+        "keyword_hit",
+        "robots_blocked",
+        F.size("found_links").alias("found_links_count"),
+    )
+
+
 def _q_crawl_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
 
@@ -377,6 +395,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_bfs": _q_crawl_bfs,
+        "crawl_reachability": _q_crawl_reachability,
         "crawl_extracted": _q_crawl_extracted,
         "exact_dedup": _q_exact_dedup,
         "minhash_neardup": _q_minhash_neardup,
@@ -416,6 +435,77 @@ def oracle_sql() -> dict[str, str]:
     en_re = EN_PAT.replace("\\", "\\")
     gate_cond = " OR ".join(f"lower(text) LIKE '%{w}%'" for w in GATE_WORDS)
     return {
+        # BFS crawl over the derived corpus, re-derived in pure SQL:
+        # node/edge from the same modular arithmetic as
+        # sources/webcorpus.py; robots blocking for hosts h%5==1 is
+        # "path starts with /seite/1"; seeds are docs 0..ns-1 (seq == doc);
+        # the seeder quirk (seeds unseen until popped) means a seed is
+        # re-enqueued at depth 1 iff its min first-discovering parent seed
+        # has a smaller seq. max_depth=2 ⇒ three explicit levels.
+        "crawl_reachability": """
+            WITH params AS (
+                SELECT count(*) AS n,
+                       greatest(4, count(*) // 50) AS nh,
+                       greatest(4, count(*) // 100) AS ns
+                FROM documents
+            ),
+            node AS (
+                SELECT d.doc_id AS doc,
+                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
+                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
+                       ((d.doc_id % p.nh) % 5 = 1
+                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
+                       d.doc_id % 4 = 0 AS keyword_hit
+                FROM documents d, params p
+            ),
+            edge AS (
+                SELECT DISTINCT s.doc AS src, g.tgt
+                FROM node s, params p,
+                     unnest([
+                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
+                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
+                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
+                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
+                        0
+                     ]) AS g(tgt)
+            ),
+            degree AS (SELECT src AS doc, count(*) AS links FROM edge GROUP BY src),
+            l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns),
+            l1 AS (
+                SELECT e.tgt AS doc, min(e.src) AS first_parent
+                FROM edge e
+                JOIN l0 ON e.src = l0.doc
+                JOIN node pn ON pn.doc = e.src
+                WHERE NOT pn.blocked
+                GROUP BY e.tgt
+            ),
+            l1k AS (
+                SELECT l1.doc FROM l1, params p
+                WHERE l1.doc >= p.ns OR l1.first_parent < l1.doc
+            ),
+            l2 AS (
+                SELECT DISTINCT e.tgt AS doc
+                FROM edge e
+                JOIN l1k ON e.src = l1k.doc
+                JOIN node pn ON pn.doc = e.src
+                WHERE NOT pn.blocked
+                  AND e.tgt NOT IN (SELECT doc FROM l0)
+                  AND e.tgt NOT IN (SELECT doc FROM l1k)
+            ),
+            fetched AS (
+                SELECT doc, 0 AS depth FROM l0
+                UNION ALL SELECT doc, 1 FROM l1k
+                UNION ALL SELECT doc, 2 FROM l2
+            )
+            SELECT n.url, CAST(f.depth AS INT) AS depth, n.keyword_hit,
+                   n.blocked AS robots_blocked,
+                   CAST(CASE WHEN n.blocked THEN 0 ELSE d.links END AS INT)
+                       AS found_links_count
+            FROM fetched f
+            JOIN node n ON n.doc = f.doc
+            JOIN degree d ON d.doc = f.doc
+        """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dups

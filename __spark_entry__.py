@@ -320,14 +320,16 @@ def _q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     policies = build_robots_state(spark, robots, __import__(
         "crawler_german_localpoliticans_spark.config", fromlist=["DEFAULT_CONFIG"]
     ).DEFAULT_CONFIG)
-    blocked_udf, delay_udf = robots_eval_udfs(spark, policies)
+    robots_udf = robots_eval_udfs(spark, policies)
     from crawler_german_localpoliticans_spark.functions import udfs
 
+    hk = udfs.host_key(F.col("url"))
+    ev = robots_udf(F.col("url"), hk)
     return pages.select(
         "url",
-        udfs.host_key(F.col("url")).alias("host_key"),
-        blocked_udf(udfs.host_key(F.col("url")), udfs.url_path(F.col("url"))).alias("blocked"),
-        delay_udf(udfs.host_key(F.col("url"))).alias("crawl_delay_ms"),
+        hk.alias("host_key"),
+        ev["robots_blocked"].alias("blocked"),
+        ev["crawl_delay_ms"].alias("crawl_delay_ms"),
     )
 
 

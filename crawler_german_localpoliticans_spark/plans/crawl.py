@@ -101,40 +101,45 @@ def build_robots_state(
 
 
 def robots_eval_udfs(spark: SparkSession, policies: dict):
-    """(blocked_udf, delay_udf) evaluating the broadcast policy map.
+    """One struct-returning pandas UDF evaluating the broadcast policy map:
+    (url, host_key) -> (robots_blocked, crawl_delay_ms).
 
     Pure function of (host_key, path) — SURVEY.md §2.2 F2. The longest-prefix
     match runs vectorized over Arrow batches; the policy map ships to
     executors once via the Spark broadcast, not per-task closure pickling.
+    A single UDF means one Python round-trip per wave instead of three
+    (path extraction happens inside the same batch).
     """
+    from ..functions.urls import url_path as _url_path
+
     bc = spark.sparkContext.broadcast(policies)
 
-    @F.pandas_udf(T.BooleanType())
-    def blocked(host_keys: pd.Series, paths: pd.Series) -> pd.Series:
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("robots_blocked", T.BooleanType()),
+                T.StructField("crawl_delay_ms", T.LongType()),
+            ]
+        )
+    )
+    def robots_eval(urls: pd.Series, host_keys: pd.Series) -> pd.DataFrame:
         pol = bc.value
-
-        def one(hk, path):
+        blocked, delays = [], []
+        for url, hk in zip(urls, host_keys):
             entry = pol.get(hk)
             if entry is None:
-                return False
-            allow, disallow, _ = entry
+                blocked.append(False)
+                delays.append(None)
+                continue
+            allow, disallow, delay = entry
+            path = _url_path(url)
             a = max((len(p) for p in allow if path.startswith(p)), default=0)
             d = max((len(p) for p in disallow if path.startswith(p)), default=0)
-            return d > a and d > 0
+            blocked.append(d > a and d > 0)
+            delays.append(delay)
+        return pd.DataFrame({"robots_blocked": blocked, "crawl_delay_ms": delays})
 
-        return pd.Series([one(hk, p) for hk, p in zip(host_keys, paths)])
-
-    @F.pandas_udf(T.LongType())
-    def crawl_delay(host_keys: pd.Series) -> pd.Series:
-        pol = bc.value
-
-        def one(hk):
-            entry = pol.get(hk)
-            return entry[2] if entry is not None else None
-
-        return pd.Series([one(hk) for hk in host_keys], dtype="object")
-
-    return blocked, crawl_delay
+    return robots_eval
 
 
 class CrawlDriver:
@@ -171,7 +176,7 @@ class CrawlDriver:
         # scale: a bucketed-by-url Iceberg table instead of a cache)
         self.pages = tbl.read_pages(spark, pages_path).persist()
         self.policies = build_robots_state(spark, robots_df, config)
-        self.robots_blocked_udf, self.crawl_delay_udf = robots_eval_udfs(spark, self.policies)
+        self.robots_eval_udf = robots_eval_udfs(spark, self.policies)
 
     # ------------------------------------------------------------------ seeds
     def _seed_frontier(self, seeds_df: DataFrame) -> DataFrame:
@@ -207,11 +212,10 @@ class CrawlDriver:
         #    priority order, per-host slots + slices)
         frontier = (
             cat.read_round("frontier", r, tbl.FRONTIER_SCHEMA)
-            .withColumn("path", udfs.url_path(F.col("url")))
-            .withColumn(
-                "robots_blocked", self.robots_blocked_udf(F.col("host_key"), F.col("path"))
-            )
-            .withColumn("crawl_delay_ms", self.crawl_delay_udf(F.col("host_key")))
+            .withColumn("_robots", self.robots_eval_udf(F.col("url"), F.col("host_key")))
+            .withColumn("robots_blocked", F.col("_robots.robots_blocked"))
+            .withColumn("crawl_delay_ms", F.col("_robots.crawl_delay_ms"))
+            .drop("_robots")
             .withColumn(
                 "keyword_hit",
                 udfs.keyword_hit_col(F.col("url"), cfg.keywords, cfg.save_all_html),

@@ -213,6 +213,16 @@ def clean_html(html: str | bytes | None) -> str:
 
 _WS = " \t\n\r\f\v"
 
+# elements whose boundaries separate words in the extracted text — without
+# this, adjacent blocks glue tokens together ("RatSitzung"), which poisons
+# downstream tokenization; part of the fixed golden contract
+BLOCK_ELEMENTS = frozenset(
+    "address article aside blockquote body br caption dd div dl dt fieldset "
+    "figcaption figure footer form h1 h2 h3 h4 h5 h6 head header hr html li "
+    "main nav ol option p pre section table tbody td tfoot th thead title tr "
+    "ul".split()
+)
+
 
 class _TextCollector(HTMLParser):
     def __init__(self) -> None:
@@ -223,10 +233,14 @@ class _TextCollector(HTMLParser):
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in RAWTEXT_ELEMENTS:
             self._skip_depth += 1
+        elif tag in BLOCK_ELEMENTS:
+            self.chunks.append(" ")
 
     def handle_endtag(self, tag: str) -> None:
         if tag in RAWTEXT_ELEMENTS and self._skip_depth:
             self._skip_depth -= 1
+        elif tag in BLOCK_ELEMENTS:
+            self.chunks.append(" ")
 
     def handle_data(self, data: str) -> None:
         if not self._skip_depth:
@@ -235,7 +249,8 @@ class _TextCollector(HTMLParser):
 
 def extract_text(html: str | bytes | None) -> str:
     """Visible text of (cleaned) HTML: text nodes outside script/style,
-    entity-decoded, all whitespace runs collapsed to single spaces, stripped.
+    entity-decoded, block-element boundaries become word breaks, all
+    whitespace runs collapsed to single spaces, stripped.
     The golden byte-identity target for the `text` column."""
     if html is None:
         return ""

@@ -12,6 +12,12 @@ def test_bucketed_pages_join_shuffles_frontier_side_only(spark, smoke_dir):
     # uses the session's default warehouse dir (spark-warehouse/, gitignored)
     pages = spark.read.parquet(f"{smoke_dir}/pages.parquet").select("url", "warc_ts", "html")
     spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+    # an orphaned managed-table dir from a previous session blocks CREATE
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/pages_bucketed", ignore_errors=True)
     (
         pages.write.mode("overwrite")
         .bucketBy(8, "url")

@@ -221,22 +221,25 @@ class CrawlDriver:
                 udfs.keyword_hit_col(F.col("url"), cfg.keywords, cfg.save_all_html),
             )
         )
-        scheduled = schedule_wave(frontier.where(~F.col("robots_blocked")), cfg)
-        wave = frontier.where(F.col("robots_blocked")).unionByName(
-            scheduled, allowMissingColumns=True
-        )
+        # blocked rows ride the same scan/window (they sort last per host and
+        # get null schedule columns) — a split+union here would scan the
+        # frontier and run the robots UDF twice (verified via explain)
+        wave = schedule_wave(frontier, cfg)
 
         # 3. offline fetch = join against the pages corpus on canonical url
-        #    (BASELINE input_hint), then the link pipeline as ONE Arrow pass
+        #    (BASELINE input_hint), then the link pipeline as ONE Arrow pass;
+        #    blocked rows pass a null html into the UDF so their (discarded)
+        #    parse costs nothing
         ok_col = ~F.col("robots_blocked") & F.col("html").isNotNull()
         wave = (
             wave.join(self.pages.select("url", "warc_ts", "html"), on="url", how="left")
             .withColumn("fetch_failed", ~F.col("robots_blocked") & F.col("html").isNull())
             .withColumn(
                 "found_links",
-                F.when(ok_col, udfs.found_links(F.col("url"), F.col("html"))).otherwise(
-                    F.array().cast("array<string>")
-                ),
+                F.when(
+                    ok_col,
+                    udfs.found_links(F.col("url"), F.when(ok_col, F.col("html"))),
+                ).otherwise(F.array().cast("array<string>")),
             )
             .withColumn("ok", ok_col)
         )

@@ -104,22 +104,6 @@ def schedule_wave(allowed: DataFrame, config: CrawlConfig) -> DataFrame:
     return df
 
 
-def wave_politeness_metrics(scheduled: DataFrame) -> dict:
-    """Per-wave politeness facts: host count, max pages/host, simulated wave
-    duration (politeness-bound), slice count."""
-    row = scheduled.agg(
-        F.countDistinct("host").alias("hosts"),
-        F.max("host_slot").alias("max_host_slot"),
-        F.max(F.col("sched_offset_ms") + F.col("effective_delay_ms")).alias(
-            "simulated_wave_ms"
-        ),
-        F.max("slice").alias("max_slice"),
-        F.count(F.lit(1)).alias("rows"),
-    ).collect()[0]
-    return {
-        "hosts": row["hosts"] or 0,
-        "max_pages_per_host": (row["max_host_slot"] or -1) + 1,
-        "simulated_wave_ms": int(row["simulated_wave_ms"] or 0),
-        "slices": (row["max_slice"] or 0) + 1,
-        "rows": row["rows"],
-    }
+# NOTE: per-wave politeness counters are computed inside the crawl round's
+# observed write (plans/crawl.py) rather than as a separate aggregate — see
+# the `wave_aggs` list there.

@@ -22,10 +22,25 @@ REPO = os.path.dirname(HERE)
 
 
 def run_level(cores: int, replicas: int, trials: int, sf_dir: str) -> dict:
+    """Pin the whole process tree to exactly `cores` CPUs (taskset): a
+    local[N] session still spawns GC/Arrow/python-worker threads that would
+    otherwise spill onto idle cores, silently inflating the low level's
+    throughput. An N-core cluster executor has N cores TOTAL — so must the
+    proxy."""
     best: dict | None = None
     for _ in range(trials):
+        cmd = [
+            "taskset",
+            "-c",
+            f"0-{cores - 1}",
+            sys.executable,
+            os.path.join(HERE, "_scaling_job.py"),
+            str(cores),
+            str(replicas),
+            sf_dir,
+        ]
         out = subprocess.run(
-            [sys.executable, os.path.join(HERE, "_scaling_job.py"), str(cores), str(replicas), sf_dir],
+            cmd,
             capture_output=True,
             text=True,
             check=True,
@@ -70,6 +85,13 @@ Input: corpus derived from `{sf_dir}/documents.parquet`, replicated x{replicas}
 parallelism levels (driver note: sandbox proxy for N vs 4N executors), fresh
 JVM per level, min of {trials} trials per level (shared VM: top shows up to
 ~25% steal time, min is the least-interfered sample).
+
+Methodology: each level is pinned to exactly its core budget with
+`taskset -c 0-(N-1)` — a local[N] session otherwise spills GC/Arrow/
+python-worker threads onto idle cores, inflating the low level's
+throughput (an N-core cluster executor has N cores total, so must the
+proxy). Partitioning is data-driven and identical at both levels, so
+per-task Arrow batching does not vary with parallelism.
 
 | Metric | local[{n}] | local[{n * 4}] | speedup | efficiency |
 |---|---|---|---|---|

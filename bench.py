@@ -93,6 +93,59 @@ def bench_extraction(spark, sf_dir: str) -> dict:
     return {"sec": wall, "pages": n, "pages_per_sec": n / wall if wall > 0 else 0.0}
 
 
+def bench_pipeline_throughput(spark, sf_dir: str, replicas: int = 20) -> dict:
+    """Steady-state throughput of the wave pipeline's compute stages over a
+    replicated corpus (amortizes fixed job costs that dominate the tiny
+    end-to-end crawl at sandbox scale): link-extraction UDF + candidate
+    explode + first-discovery dedup, and the extraction UDFs."""
+    from pyspark.sql import functions as F
+
+    from crawler_german_localpoliticans_spark.functions import udfs
+    from crawler_german_localpoliticans_spark.sources.webcorpus import corpus_from_documents
+
+    base, _, _ = corpus_from_documents(spark, sf_dir)
+    pages = (
+        base.crossJoin(F.broadcast(spark.range(replicas).select(F.col("id").alias("rep"))))
+        .withColumn("url", F.concat(F.col("url"), F.lit("?r="), F.col("rep")))
+        .drop("rep")
+        .repartition(64)
+        .persist()
+    )
+    n_pages = pages.count()
+
+    t0 = time.monotonic()
+    links = pages.select(
+        F.col("url"), udfs.found_links(F.col("url"), F.col("html")).alias("fl")
+    )
+    cand = links.select(
+        F.xxhash64("url").alias("parent"), F.posexplode("fl").alias("pos", "child")
+    )
+    row = (
+        cand.groupBy("child")
+        .agg(F.min(F.struct("parent", "pos")).alias("f"), F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("d"), F.sum("n").alias("c"))
+        .collect()[0]
+    )
+    frontier_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    n_ext = (
+        pages.select(udfs.clean_extract(F.col("html")).alias("ce"))
+        .where(F.length("ce.text") > 0)
+        .count()
+    )
+    extract_sec = time.monotonic() - t0
+    pages.unpersist()
+    n_cand = int(row["c"])
+    return {
+        "pages": n_pages,
+        "frontier_sec": round(frontier_sec, 2),
+        "pipeline_urls_per_sec": round((n_pages + n_cand) / frontier_sec, 1),
+        "extract_sec": round(extract_sec, 2),
+        "pipeline_pages_extracted_per_sec": round(n_ext / extract_sec, 1),
+    }
+
+
 def bench_query(spark, sf_dir: str, fn) -> float:
     t0 = time.monotonic()
     df = fn(spark, sf_dir)
@@ -128,6 +181,9 @@ def main() -> None:
     queries["crawl_pipeline"] = round(crawl["sec"], 3)
     extraction = bench_extraction(spark, sf_dir)
     queries["extraction"] = round(extraction["sec"], 3)
+    pipeline = bench_pipeline_throughput(spark, sf_dir)
+    queries["pipeline_throughput"] = round(pipeline["frontier_sec"] + pipeline["extract_sec"], 3)
+    spark.catalog.clearCache()  # don't let the big stage's cache/GC bleed into the operator timings
 
     q = entrymod.queries()
     for name in (
@@ -159,6 +215,9 @@ def main() -> None:
         "pages_extracted_per_sec": round(extraction["pages_per_sec"], 1),
         "crawl_fetched_pages": crawl["fetched"],
         "extraction_pages": extraction["pages"],
+        # steady-state stage throughput on a replicated corpus (fixed job
+        # costs amortized — the number that projects to cluster scale)
+        "steady_state": pipeline,
     }
     spark.stop()
     print(json.dumps(result))

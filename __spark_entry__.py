@@ -392,15 +392,20 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # microsecond-exact integer gap (epoch micros; ts is NTZ, session tz is
+    # UTC) so the semantics can never diverge from DuckDB's fractional
+    # epoch(ts - lag(ts)) on sub-second data; session_id cast to BIGINT on
+    # BOTH sides so the driver's cell normalizer sees the same representation
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
     wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(new_sess).over(wsum).alias("session_id"),
+        F.sum(new_sess).over(wsum).cast("long").alias("session_id"),
     )
 
 
@@ -447,13 +452,207 @@ def oracle_sql() -> dict[str, str]:
     en_re = EN_PAT.replace("\\", "\\")
     gate_cond = " OR ".join(f"lower(text) LIKE '%{w}%'" for w in GATE_WORDS)
     return {
-        # BFS crawl over the derived corpus, re-derived in pure SQL:
-        # node/edge from the same modular arithmetic as
-        # sources/webcorpus.py; robots blocking for hosts h%5==1 is
-        # "path starts with /seite/1"; seeds are docs 0..ns-1 (seq == doc);
-        # the seeder quirk (seeds unseen until popped) means a seed is
-        # re-enqueued at depth 1 iff its min first-discovering parent seed
-        # has a smaller seq. max_depth=2 ⇒ three explicit levels.
+        # BFS crawl ORDER over the derived corpus, fully re-derived in SQL —
+        # including the seq column (BASELINE.json invariant "crawl-order
+        # exact match"). Seeds are docs 0..ns-1 with seq == doc (seed_order);
+        # depth-d children are ranked by (first-discovering parent's seq,
+        # position in that parent's sorted-unique found_links) — the exact
+        # single-worker FIFO order of the reference's Lua check-and-add
+        # (src/main.rs:30-45, :908-909). The first-discovery key is encoded
+        # min(parent_seq*1024 + pos) (pos <= 8 < 1024). Validated against
+        # plans/oracle.py's sequential crawl on sf0.001/0.01/0.1.
+        "crawl_bfs": """
+            WITH params AS (
+                SELECT count(*) AS n,
+                       greatest(4, count(*) // 50) AS nh,
+                       greatest(4, count(*) // 100) AS ns
+                FROM documents
+            ),
+            node AS (
+                SELECT d.doc_id AS doc,
+                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
+                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
+                       ((d.doc_id % p.nh) % 5 = 1
+                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
+                       d.doc_id % 4 = 0 AS keyword_hit
+                FROM documents d, params p
+            ),
+            edge AS (
+                SELECT DISTINCT s.doc AS src, g.tgt
+                FROM node s, params p,
+                     unnest([
+                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
+                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
+                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
+                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
+                        0
+                     ]) AS g(tgt)
+            ),
+            degree AS (SELECT src AS doc, count(*) AS links FROM edge GROUP BY src),
+            pl AS (
+                SELECT e.src, e.tgt,
+                       row_number() OVER (PARTITION BY e.src ORDER BY n.url) - 1 AS pos
+                FROM edge e JOIN node n ON n.doc = e.tgt
+            ),
+            l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns),
+            l1r AS (
+                SELECT pl.tgt AS doc, min(pl.src * 1024 + pl.pos) AS k
+                FROM pl
+                JOIN l0 ON pl.src = l0.doc
+                JOIN node pn ON pn.doc = pl.src
+                WHERE NOT pn.blocked
+                GROUP BY pl.tgt
+            ),
+            l1s AS (
+                SELECT doc, k,
+                       p.ns - 1 + row_number() OVER (ORDER BY k) AS seq
+                FROM l1r, params p
+                WHERE doc >= p.ns OR (k // 1024) < doc
+            ),
+            l2r AS (
+                SELECT pl.tgt AS doc, min(l1s.seq * 1024 + pl.pos) AS k
+                FROM pl
+                JOIN l1s ON pl.src = l1s.doc
+                JOIN node pn ON pn.doc = pl.src
+                WHERE NOT pn.blocked
+                  AND pl.tgt NOT IN (SELECT doc FROM l0)
+                  AND pl.tgt NOT IN (SELECT doc FROM l1s)
+                GROUP BY pl.tgt
+            ),
+            l1n AS (SELECT count(*) AS c FROM l1s),
+            l2s AS (
+                SELECT doc,
+                       p.ns + l1n.c - 1 + row_number() OVER (ORDER BY k) AS seq
+                FROM l2r, params p, l1n
+            ),
+            fetched AS (
+                SELECT doc, 0 AS depth, CAST(doc AS BIGINT) AS seq FROM l0
+                UNION ALL SELECT doc, 1, CAST(seq AS BIGINT) FROM l1s
+                UNION ALL SELECT doc, 2, CAST(seq AS BIGINT) FROM l2s
+            )
+            SELECT f.seq, n.url, CAST(f.depth AS INT) AS depth, n.keyword_hit,
+                   n.blocked AS robots_blocked,
+                   CAST(CASE WHEN n.blocked THEN 0 ELSE d.links END AS INT)
+                       AS found_links_count
+            FROM fetched f
+            JOIN node n ON n.doc = f.doc
+            JOIN degree d ON d.doc = f.doc
+        """,
+        # Byte-identity for the extraction stage (BASELINE.json invariant
+        # "byte-identical extracted text per url"): the derived corpus HTML
+        # is a Column concat (sources/webcorpus.py:57-68), so the expected
+        # clean-extracted text is reconstructible verbatim — title, h1, the
+        # whitespace-collapsed document text, and the anchor labels (inline
+        # <a> runs glue without separators). Re-popped keyword seeds are
+        # extracted once per pop, hence the fetched-level FROM.
+        "crawl_extracted": r"""
+            WITH params AS (
+                SELECT count(*) AS n,
+                       greatest(4, count(*) // 50) AS nh,
+                       greatest(4, count(*) // 100) AS ns
+                FROM documents
+            ),
+            node AS (
+                SELECT d.doc_id AS doc,
+                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
+                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
+                       ((d.doc_id % p.nh) % 5 = 1
+                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
+                       d.doc_id % 4 = 0 AS keyword_hit,
+                       'Seite ' || CAST(d.doc_id AS VARCHAR) || ' Dokument '
+                         || regexp_replace(trim(d.text), '\s+', ' ', 'g')
+                         || ' l0l1l2l3l4l5l6l7hot' AS text,
+                       'request_host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de_seite_' || CAST(d.doc_id AS VARCHAR)
+                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END
+                         || '.html' AS custom_id
+                FROM documents d, params p
+            ),
+            edge AS (
+                SELECT DISTINCT s.doc AS src, g.tgt
+                FROM node s, params p,
+                     unnest([
+                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
+                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
+                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
+                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
+                        0
+                     ]) AS g(tgt)
+            ),
+            l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns),
+            l1 AS (
+                SELECT e.tgt AS doc, min(e.src) AS first_parent
+                FROM edge e
+                JOIN l0 ON e.src = l0.doc
+                JOIN node pn ON pn.doc = e.src
+                WHERE NOT pn.blocked
+                GROUP BY e.tgt
+            ),
+            l1k AS (
+                SELECT l1.doc FROM l1, params p
+                WHERE l1.doc >= p.ns OR l1.first_parent < l1.doc
+            ),
+            l2 AS (
+                SELECT DISTINCT e.tgt AS doc
+                FROM edge e
+                JOIN l1k ON e.src = l1k.doc
+                JOIN node pn ON pn.doc = e.src
+                WHERE NOT pn.blocked
+                  AND e.tgt NOT IN (SELECT doc FROM l0)
+                  AND e.tgt NOT IN (SELECT doc FROM l1k)
+            ),
+            fetched AS (
+                SELECT doc FROM l0
+                UNION ALL SELECT doc FROM l1k
+                UNION ALL SELECT doc FROM l2
+            )
+            SELECT n.url, n.text, n.custom_id
+            FROM fetched f
+            JOIN node n ON n.doc = f.doc
+            WHERE n.keyword_hit AND NOT n.blocked
+        """,
+        # The messy-URL canonicalization fixture is pure string arithmetic:
+        # scheme/host lowercased, default :443 dropped, /a/../ dot-segment
+        # removed, #frag stripped; safe_filename maps non-[A-Za-z0-9.-] to
+        # '_' and collapses runs (functions/urls.py:50,139,156).
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'HTTPS://Host' || CAST(doc_id AS VARCHAR)
+                     || '.Example.DE:443/a/../seite/' || CAST(doc_id AS VARCHAR)
+                     || '#frag' AS raw_url,
+                   'https://host' || CAST(doc_id AS VARCHAR)
+                     || '.example.de/seite/' || CAST(doc_id AS VARCHAR)
+                     AS canonical_url,
+                   'https://host' || CAST(doc_id AS VARCHAR) || '.example.de'
+                     AS host_key,
+                   'host' || CAST(doc_id AS VARCHAR) || '.example.de_seite_'
+                     || CAST(doc_id AS VARCHAR) AS safe_filename
+            FROM documents WHERE doc_id < 200
+        """,
+        # Robots policy evaluation over the derived corpus: hosts h%5==1
+        # disallow the /seite/1 prefix for all agents; hosts h%7==3 (and not
+        # h%5==1 — the webcorpus WHEN chain) set Crawl-delay: 4.5 => 4500 ms;
+        # all other hosts have the empty allow-all policy with NULL delay.
+        "robots_eval": """
+            WITH params AS (
+                SELECT greatest(4, count(*) // 50) AS nh FROM documents
+            )
+            SELECT 'https://host' || lpad(CAST(doc_id % p.nh AS VARCHAR), 4, '0')
+                     || '.beispiel.de/seite/' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
+                   'https://host' || lpad(CAST(doc_id % p.nh AS VARCHAR), 4, '0')
+                     || '.beispiel.de' AS host_key,
+                   ((doc_id % p.nh) % 5 = 1
+                    AND CAST(doc_id AS VARCHAR) LIKE '1%') AS blocked,
+                   CAST(CASE WHEN (doc_id % p.nh) % 5 <> 1
+                              AND (doc_id % p.nh) % 7 = 3
+                             THEN 4500 END AS BIGINT) AS crawl_delay_ms
+            FROM documents d, params p
+        """,
+        # Membership/flags view of the same crawl (kept alongside crawl_bfs:
+        # this one checks reachability independently of the order logic).
         "crawl_reachability": """
             WITH params AS (
                 SELECT count(*) AS n,
@@ -682,13 +881,14 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN lag(ts) OVER w IS NULL
                               OR epoch(ts - lag(ts) OVER w) > 1800
                             THEN 1 ELSE 0 END AS new_sess,
-                       ts
+                       ts, event_id AS eid
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT event_id, user_id,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, eid
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
             FROM gaps
         """,
         "pricing_summary": """

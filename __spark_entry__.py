@@ -310,26 +310,28 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the flagship robots path: policies parsed on executors as a
+    DataFrame, picked up via the size-guarded host_key join (never a driver
+    dict), longest-prefix match in one Arrow batch."""
+    from crawler_german_localpoliticans_spark.config import DEFAULT_CONFIG
+    from crawler_german_localpoliticans_spark.functions import udfs
     from crawler_german_localpoliticans_spark.plans.crawl import (
-        build_robots_state,
-        robots_eval_udfs,
+        evaluate_robots,
+        parse_policies_df,
     )
     from crawler_german_localpoliticans_spark.sources.webcorpus import corpus_from_documents
 
     pages, _, robots = corpus_from_documents(spark, sf_dir)
-    policies = build_robots_state(spark, robots, __import__(
-        "crawler_german_localpoliticans_spark.config", fromlist=["DEFAULT_CONFIG"]
-    ).DEFAULT_CONFIG)
-    robots_udf = robots_eval_udfs(spark, policies)
-    from crawler_german_localpoliticans_spark.functions import udfs
-
-    hk = udfs.host_key(F.col("url"))
-    ev = robots_udf(F.col("url"), hk)
-    return pages.select(
+    policies = parse_policies_df(robots, DEFAULT_CONFIG)
+    out = evaluate_robots(
+        pages.select("url", udfs.host_key(F.col("url")).alias("host_key")),
+        policies,
+    )
+    return out.select(
         "url",
-        hk.alias("host_key"),
-        ev["robots_blocked"].alias("blocked"),
-        ev["crawl_delay_ms"].alias("crawl_delay_ms"),
+        "host_key",
+        F.col("robots_blocked").alias("blocked"),
+        "crawl_delay_ms",
     )
 
 

@@ -17,8 +17,9 @@ are load-bearing for crawl-set parity (SURVEY.md §7):
 - `is_allowed(path)`: longest matching allow prefix `a` vs longest matching
   disallow prefix `d`; disallowed iff `d > a and d > 0`.
 
-Parsing runs once per distinct host on the driver; the resulting policies are
-broadcast (never evaluated per-row against raw robots text).
+Parsing runs once per distinct host on executors (plans/crawl.py
+`parse_policies_df`); the resulting policies table joins onto the frontier
+(never evaluated per-row against raw robots text, never collected).
 """
 
 from __future__ import annotations

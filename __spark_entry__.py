@@ -127,6 +127,78 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PLANT_OFFSET = 1000000
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str, salt: bool = False) -> DataFrame:
+    """documents ∪ exact copies at doc_id+1e6 — a corpus whose true duplicate
+    pair set is known BY CONSTRUCTION (and SQL-expressible as text equality),
+    giving the hash-based detectors (minhash/simhash/fingerprint, whose crc32
+    primitives DuckDB lacks) a constructive ground-truth oracle.
+
+    With salt=True each ORIGINAL gets 50 doc-unique suffix tokens before
+    copying: the testdata documents contain genuine near-dups (true Jaccard
+    up to 0.99 between distinct texts), so near-dup detectors would correctly
+    fire on them — salting pushes every cross-doc similarity far below any
+    detection threshold while planted copies stay byte-identical, making
+    'detected == planted' an exact invariant."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if salt:
+        suffix = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(49)),
+                lambda j: F.concat(
+                    F.lit("u"), F.col("doc_id").cast("string"), F.lit("x"), j.cast("string")
+                ),
+            ),
+        )
+        docs = docs.select("doc_id", F.concat(F.col("text"), F.lit(" "), suffix).alias("text"))
+    copies = docs.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    return docs.unionByName(copies)
+
+
+def _q_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH must recover exactly the planted duplicate pairs: identical
+    text => identical signatures => est_jaccard 1.0 (never missed); a false
+    positive at threshold 0.95 needs >=61/64 permutation agreement between
+    texts whose true Jaccard is <0.35 after salting (probability ~1e-30)."""
+    from crawler_german_localpoliticans_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _planted_corpus(spark, sf_dir, salt=True), "doc_id", "text", threshold=0.95
+    )
+    return pairs.select("id_a", "id_b")
+
+
+def _q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming search at max_hamming=0 must recover exactly
+    the planted identical-text pairs (the salted corpus keeps every
+    non-planted pair dozens of token flips apart)."""
+    from crawler_german_localpoliticans_spark.operators.dedup import simhash_dedup_pairs
+
+    pairs = simhash_dedup_pairs(
+        _planted_corpus(spark, sf_dir, salt=True), "doc_id", "text", max_hamming=0
+    )
+    return pairs.select("id_a", "id_b")
+
+
+def _q_fingerprint_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash doc fingerprint equality == text equality on the planted
+    corpus (2^61-1 modulus: collision odds are negligible and a collision
+    would be caught as a hash mismatch here)."""
+    from crawler_german_localpoliticans_spark.operators.textstats import with_fingerprint
+
+    fp = with_fingerprint(_planted_corpus(spark, sf_dir), "text").select("doc_id", "doc_hash")
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("doc_hash").alias("h"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("doc_hash").alias("h"))
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_german_localpoliticans_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -354,12 +426,24 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawler_german_localpoliticans_spark.operators.similarity import ivf_topk
+_IVF_CACHE: dict[str, tuple] = {}
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index built ONCE per sf_dir (persisted assigned table + centroid
+    metadata), then probed — the KMeans fit never runs on the query path
+    (operators/similarity.py ivf_build/ivf_probe)."""
+    from crawler_german_localpoliticans_spark.operators.similarity import ivf_build, ivf_probe
+
+    if sf_dir not in _IVF_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, centroids = ivf_build(emb, "vec_id", "embedding", n_cells=8)
+        assigned = assigned.persist()
+        assigned.count()
+        _IVF_CACHE[sf_dir] = (assigned, centroids)
+    assigned, centroids = _IVF_CACHE[sf_dir]
     q = _query_vec(spark, sf_dir)
-    return ivf_topk(emb, "vec_id", "embedding", q, k=5, n_cells=8, nprobe=2).select(
+    return ivf_probe(assigned, centroids, "vec_id", "embedding", q, k=5, nprobe=2).select(
         "id", _e6(F.col("score")).alias("score_e6")
     )
 
@@ -418,7 +502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extracted": _q_crawl_extracted,
         "exact_dedup": _q_exact_dedup,
         "minhash_neardup": _q_minhash_neardup,
+        "minhash_planted": _q_minhash_planted,
         "simhash": _q_simhash,
+        "simhash_planted": _q_simhash_planted,
+        "fingerprint_planted": _q_fingerprint_planted,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
@@ -447,6 +534,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# expected duplicate pairs on the planted corpus = text-equality pairs
+_PLANTED_PAIRS_SQL = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM corpus a
+    JOIN corpus b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+"""
+
+# salted variant (see _planted_corpus(salt=True)): 50 doc-unique suffix
+# tokens separate genuine near-dups in the base corpus from the planted
+# byte-identical copies
+_PLANTED_SALTED_PAIRS_SQL = """
+    WITH salted AS (
+        SELECT doc_id,
+               text || ' ' || array_to_string(
+                   list_transform(
+                       generate_series(0, 49),
+                       j -> 'u' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)
+                   ), ' ') AS text
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM salted
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM salted
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM corpus a
+    JOIN corpus b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -724,6 +846,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
+        # Constructive ground truth for the crc32-based detectors: on the
+        # planted corpus (documents ∪ exact copies at doc_id+1e6) the true
+        # duplicate pair set IS text equality — any detector false
+        # positive/negative breaks the hash match.
+        "minhash_planted": _PLANTED_SALTED_PAIRS_SQL,
+        "simhash_planted": _PLANTED_SALTED_PAIRS_SQL,
+        "fingerprint_planted": _PLANTED_PAIRS_SQL,
         "ngram_jaccard": r"""
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

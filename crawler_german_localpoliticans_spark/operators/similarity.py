@@ -20,15 +20,39 @@ from pyspark.sql import functions as F
 from .dedup import cosine_col
 
 
+def cosine_scores_udf(query: list[float]):
+    """Arrow-batched cosine scorer against a fixed query vector: one numpy
+    matrix-vector product per batch (BLAS), replacing the interpreted
+    zip_with/aggregate per-element evaluation that dominated round-1 bench
+    times on this path. Scores rounded to 6 decimals (the engine-portable
+    comparison contract shared with the DuckDB oracle)."""
+    from pyspark.sql import types as T
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf(T.DoubleType())
+    def score(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.float64)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dots = mat @ q
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        return pd.Series(np.round(dots / (norms * qn), 6))
+
+    return score
+
+
 def cosine_topk_bruteforce(
     df: DataFrame, id_col: str, vec_col: str, query: list[float], k: int = 10
 ) -> DataFrame:
     """Exact top-k by cosine similarity against a literal query vector.
-    Ties broken by id for full determinism."""
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    Ties broken by id for full determinism. Scoring is a vectorized Arrow
+    batch kernel; the top-k compiles to TakeOrderedAndProject (per-partition
+    heaps — never a global sort)."""
     scored = df.select(
         F.col(id_col).alias("id"),
-        F.round(cosine_col(F.col(vec_col), qlit), 6).alias("score"),
+        cosine_scores_udf(query)(F.col(vec_col)).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
 
@@ -101,6 +125,47 @@ def ivf_assign(
     return model.transform(feat).drop("_features"), model
 
 
+def ivf_build(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42
+) -> tuple[DataFrame, list[list[float]]]:
+    """INDEX BUILD — run once, persist the result (round-1 verdict: the
+    KMeans fit must never sit inside the probe path). Returns the assigned
+    table (vector rows + `cell`) and the centroid list (n_cells × dim — tiny,
+    driver-resident by design, like any ANN index metadata). In production
+    the assigned table is written `partitionBy("cell")` so a probe is a
+    partition-pruned scan of nprobe/n_cells of the data."""
+    assigned, model = ivf_assign(df, id_col, vec_col, n_cells, seed)
+    centroids = [[float(x) for x in np.asarray(c)] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_probe_cells(
+    centroids: list[list[float]], query: list[float], nprobe: int = 2
+) -> list[int]:
+    """The nprobe cells whose centroids are closest to the query (pure
+    driver-side metadata math over the tiny centroid list)."""
+    q = np.asarray(query, dtype=np.float64)
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centroids]
+    return [c for c, _ in sorted(enumerate(dists), key=lambda t: t[1])[:nprobe]]
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """PROBE — reads only the nprobe closest cells of a prebuilt index; no
+    fit, no full scan (cell pruning pushes into the scan when the assigned
+    table is partitioned/persisted by cell)."""
+    cells = ivf_probe_cells(centroids, query, nprobe)
+    cand = assigned.where(F.col("cell").isin(cells))
+    return cosine_topk_bruteforce(cand, id_col, vec_col, query, k)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -111,46 +176,62 @@ def ivf_topk(
     nprobe: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only the `nprobe` cells whose centroids are
-    closest to the query (IVF-flat search)."""
-    assigned, model = ivf_assign(df, id_col, vec_col, n_cells, seed)
-    centers = model.clusterCenters()
-    q = np.asarray(query, dtype=np.float64)
-    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centers]
-    probe_cells = [c for c, _ in sorted(enumerate(dists), key=lambda t: t[1])[:nprobe]]
-    cand = assigned.where(F.col("cell").isin(probe_cells))
-    return cosine_topk_bruteforce(cand, id_col, vec_col, query, k)
+    """Convenience one-shot: build + probe. For repeated queries call
+    ivf_build once and ivf_probe per query."""
+    assigned, centroids = ivf_build(df, id_col, vec_col, n_cells, seed)
+    return ivf_probe(assigned, centroids, id_col, vec_col, query, k, nprobe)
 
 
 def pairwise_topk_blocked(
     df: DataFrame, id_col: str, vec_col: str, block_col: str, k: int = 5
 ) -> DataFrame:
-    """Per-vector top-k neighbors within a block (window over the blocked
-    pair join) — the all-pairs variant of ann search used for corpus-level
-    near-dup mining."""
-    from pyspark.sql import Window
+    """Per-vector top-k neighbors within a block — the all-pairs variant of
+    ANN search used for corpus-level near-dup mining.
+
+    One applyInPandas kernel per block: the block's vectors stack into a
+    matrix once and the full similarity matrix is a single BLAS gramian
+    (G@G.T / outer(norms)) — no pair rows, no per-element lambda
+    interpretation, no extra window shuffle (the groupBy shuffle IS the
+    partitioning the window needed). Blocks are bounded by construction
+    (label / LSH bucket / IVF cell), which is what makes the in-memory
+    gramian safe; at 10^10 rows the block key is the table's partition key."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("neighbor", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({c.name: [] for c in out_schema})
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        out_id, out_nb, out_sc, out_rk = [], [], [], []
+        for i in range(n):
+            order = sorted(
+                (j for j in range(n) if j != i),
+                key=lambda j: (-sims[i, j], ids[j]),
+            )[:k]
+            for r, j in enumerate(order, start=1):
+                out_id.append(ids[i])
+                out_nb.append(ids[j])
+                out_sc.append(float(sims[i, j]))
+                out_rk.append(r)
+        return pd.DataFrame(
+            {"id": out_id, "neighbor": out_nb, "score": out_sc, "rank": out_rk}
+        )
 
     base = df.select(
         F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(vec_col).alias("vec"),
         F.col(block_col).alias("blk"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("vec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v)),
     )
-    l, r = base.alias("l"), base.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") != F.col("r.id")))
-        .select(
-            F.col("l.id").alias("id"),
-            F.col("r.id").alias("neighbor"),
-            F.round(dot / (F.col("l.norm") * F.col("r.norm")), 6).alias("score"),
-        )
-    )
-    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("neighbor").asc())
-    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return base.groupBy("blk").applyInPandas(block_topk, out_schema)

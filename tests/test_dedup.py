@@ -118,6 +118,19 @@ def test_embedding_neardup_blocked(spark):
         assert r["cosine"] >= 0.8
 
 
+def test_embedding_neardup_blas_equals_join_variant(spark):
+    """The per-block BLAS gramian and the streaming pair join are two
+    physical strategies for ONE operator — identical pairs and cosines."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    blas = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.5)
+    join = dedup.embedding_neardup_pairs_join(emb, "vec_id", "embedding", "label", threshold=0.5)
+    b = {(r["id_a"], r["id_b"]): r["cosine"] for r in blas.collect()}
+    j = {(r["id_a"], r["id_b"]): r["cosine"] for r in join.collect()}
+    assert set(b) == set(j)
+    for k_, v in b.items():
+        assert abs(v - j[k_]) < 1e-9, (k_, v, j[k_])
+
+
 def test_crc32_parity_with_zlib(spark):
     df = spark.createDataFrame([("hello wörld",), ("",), ("a b",)], "s string")
     rows = df.select("s", F.crc32(F.encode("s", "UTF-8")).alias("c")).collect()

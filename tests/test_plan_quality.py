@@ -79,16 +79,19 @@ def test_minhash_signatures_no_python(spark):
     assert "Python" not in plan  # crc32 + 64 min-aggregates are all JVM
 
 
-def test_cosine_topk_is_jvm_topk(spark):
+def test_cosine_topk_is_heap_topk_with_arrow_scoring(spark):
     from crawler_german_localpoliticans_spark.operators.similarity import cosine_topk_bruteforce
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.limit(50).collect()[0]["embedding"]
     plan = plan_of(cosine_topk_bruteforce(emb, "vec_id", "embedding", list(q), 10))
     # top-k compiles to TakeOrderedAndProject (per-partition heaps), never a
-    # global sort
+    # global sort; scoring is one Arrow-batched numpy matvec (ArrowEvalPython),
+    # never row-at-a-time Python (BatchEvalPython)
     assert "TakeOrderedAndProject" in plan
-    assert "Python" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Sort " not in plan
 
 
 def test_anti_join_on_url_hash_keys(spark, tmp_path):

@@ -143,6 +143,38 @@ def members_from_payloads(payloads: DataFrame, payload_col: str = "payload") -> 
     ).select("m.*")
 
 
+def join_outputs_with_request_metadata(
+    outputs: DataFrame,
+    requests: DataFrame,
+    as_of,
+    ttl_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """J4: LLM batch outputs ⟕ stored request metadata on custom_id
+    (db_writer.py:226-245 `store_request_metadata` SETEX with 7-day TTL,
+    :843-845 `load_request_metadata` at output processing).
+
+    - `requests` needs (custom_id, stored_at, metadata...); repeated stores
+      for one custom_id behave like Redis SET: the latest stored_at wins;
+    - metadata older than `ttl_seconds` at `as_of` is EXPIRED and treated as
+      absent (the Redis key is gone);
+    - output rows are never dropped: missing/expired metadata joins as nulls
+      (the reference proceeds with an empty metadata dict).
+    `as_of` is explicit (no wall clock inside the engine — determinism).
+    At scale this is a hash join on custom_id (uniform by construction:
+    request_<sanitized filename>); the request side prunes to one row per
+    custom_id before the join."""
+    live = requests.where(
+        F.col("stored_at") >= F.lit(as_of) - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
+    )
+    w = Window.partitionBy("custom_id").orderBy(F.col("stored_at").desc())
+    latest = (
+        live.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return outputs.join(latest, on="custom_id", how="left")
+
+
 def merge_council_members(current: DataFrame, updates: DataFrame) -> DataFrame:
     """INSERT ... ON CONFLICT (unique_key) DO UPDATE (db_writer.py:636-649):
     latest update wins per unique_key; unmatched current rows survive.

@@ -18,6 +18,9 @@ EN_STOPWORDS = ("the", "and", "is", "of", "to", "in", "that", "it", "for", "on")
 
 _DE_PAT = r"\b(" + "|".join(DE_STOPWORDS) + r")\b"
 _EN_PAT = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+# fused alternation == de_hits + en_hits (the word sets are disjoint) in a
+# single regex pass — quality_score uses this instead of two counts
+_STOP_PAT = r"\b(" + "|".join(DE_STOPWORDS + EN_STOPWORDS) + r")\b"
 TOKEN_PAT = r"\S+"
 # BPE-ish pre-tokenization: letter runs | digit runs | single non-space symbol
 BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -63,9 +66,7 @@ def with_quality_score(df: DataFrame, text_col: str) -> DataFrame:
     n_chars = F.length(t)
     n_tokens = token_count_col(t)
     n_punct = F.regexp_count(t, F.lit(PUNCT_PAT))
-    n_stop = F.regexp_count(F.lower(t), F.lit(_EN_PAT)) + F.regexp_count(
-        F.lower(t), F.lit(_DE_PAT)
-    )
+    n_stop = F.regexp_count(F.lower(t), F.lit(_STOP_PAT))
     n_ws = F.regexp_count(t, F.lit(r"\s"))
     df = (
         df.withColumn("n_chars_calc", n_chars)

@@ -50,3 +50,57 @@ def fetched_as_stream(spark: SparkSession, fetched_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(fetched_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# S10: ETag-change reprocessing gate
+# ---------------------------------------------------------------------------
+
+#: columns a storage listing must carry; `etag` is the content fingerprint
+#: (md5 of the object bytes in the offline model, matching S3 semantics)
+STORAGE_KEY_COLS = ("bucket", "object_key")
+
+
+def merge_storage_objects(
+    current: DataFrame | None, listed: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's per-object ETag gate as a set operation
+    (python_container/crawler_ingest.py:245-303 `upsert_storage_object`):
+    a listed object needs processing iff it is NEW (no ledger row for its
+    (bucket, object_key)) or its etag CHANGED; unchanged objects only
+    refresh their ledger metadata.
+
+    Returns (new_ledger, to_process):
+    - new_ledger: listed rows overwrite matching ledger rows (the reference's
+      ON CONFLICT DO UPDATE); unlisted ledger rows survive untouched;
+    - to_process: the listed rows with `inserted` / `etag_changed` flags —
+      exactly the rows the reference re-upserts. Null etags compare
+      null-safely (None != None is False in the reference's Python check).
+
+    Idempotence: merging the same listing twice flags nothing the second
+    time — the ledger already carries the new etags (tests/test_resume.py).
+    At scale both sides hash-shuffle on the composite key; the ledger is the
+    big side and the listing the small delta, so AQE broadcasts the delta.
+    """
+    keys = list(STORAGE_KEY_COLS)
+    if current is None:
+        to_process = listed.withColumn("inserted", F.lit(True)).withColumn(
+            "etag_changed", F.lit(True)
+        )
+        return listed, to_process
+    old = current.select(
+        *keys, F.col("etag").alias("_old_etag"), F.lit(True).alias("_present")
+    )
+    gated = listed.join(old, on=keys, how="left")
+    to_process = (
+        gated.withColumn("inserted", F.col("_present").isNull())
+        .withColumn(
+            "etag_changed",
+            F.col("_present").isNotNull() & ~F.col("etag").eqNullSafe(F.col("_old_etag")),
+        )
+        .where(F.col("inserted") | F.col("etag_changed"))
+        .drop("_old_etag", "_present")
+    )
+    survivors = current.join(listed.select(*keys), on=keys, how="left_anti")
+    new_ledger = survivors.unionByName(listed)
+    return new_ledger, to_process

@@ -448,6 +448,65 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 as a driver-checked query: the whole derived corpus as one wave
+    through robots evaluation + the politeness scheduler (host windows,
+    priority order blocked-last/keyword-first/seq, per-host slots, simulated
+    offsets, slice budget 6000 ms) — every schedule column is re-derived in
+    the DuckDB oracle from the same modular arithmetic."""
+    from crawler_german_localpoliticans_spark.config import CrawlConfig
+    from crawler_german_localpoliticans_spark.functions import udfs
+    from crawler_german_localpoliticans_spark.plans.crawl import (
+        evaluate_robots,
+        parse_policies_df,
+    )
+    from crawler_german_localpoliticans_spark.plans.politeness import schedule_wave
+    from crawler_german_localpoliticans_spark.sources.webcorpus import corpus_from_documents
+
+    cfg = CrawlConfig(slice_budget_ms=6000)
+    pages, _, robots = corpus_from_documents(spark, sf_dir)
+    wave = pages.select(
+        "url",
+        udfs.url_host(F.col("url")).alias("host"),
+        udfs.host_key(F.col("url")).alias("host_key"),
+        F.regexp_extract("url", r"/seite/(\d+)", 1).cast("long").alias("seq"),
+        udfs.keyword_hit_col(F.col("url"), cfg.keywords).alias("keyword_hit"),
+    )
+    wave = evaluate_robots(wave, parse_policies_df(robots, cfg))
+    out = schedule_wave(wave, cfg)
+    return out.select(
+        "url",
+        "robots_blocked",
+        F.col("effective_delay_ms").cast("long").alias("effective_delay_ms"),
+        "host_slot",
+        F.col("sched_offset_ms").cast("long").alias("sched_offset_ms"),
+        "slice",
+    )
+
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline in one plan: language ID ->
+    quality floor -> exact dedup (keep min doc_id per distinct text) ->
+    curated corpus. Single scan + one hash shuffle for the dedup; every
+    stage is a Column expression (no Python)."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        with_lang_id,
+        with_quality_score,
+    )
+
+    scored = with_quality_score(with_lang_id(_docs(spark, sf_dir), "text"), "text")
+    kept = scored.where((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.65))
+    rep = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        kept.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            _e6(F.col("quality_score")).alias("quality_score_e6"),
+        )
+    )
+
+
 def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -511,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "politeness_schedule": _q_politeness_schedule,
+        "corpus_curation": _q_corpus_curation,
         "rollup_pricing": _q_rollup_pricing,
         "set_ops": _q_set_ops,
         "sessionize": _q_sessionize,
@@ -546,6 +607,79 @@ _PLANTED_PAIRS_SQL = """
     FROM corpus a
     JOIN corpus b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
 """
+
+def _ann_lsh_oracle_sql() -> str:
+    """The sign-LSH bucket assignment is SQL-expressible because the
+    hyperplanes are DETERMINISTIC literals (seed 42): bucket bit i =
+    sign(embedding · plane_i). The oracle re-derives every vector's bucket
+    with list_dot_product, filters to the query vector's bucket and takes
+    the same rounded-cosine top-5 — the full ANN path, hash-checked."""
+    from crawler_german_localpoliticans_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=8, seed=42)
+
+    def arr(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket_expr = "\n                   + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(planes[i])}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(planes.shape[0])
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bucketed AS (
+            SELECT vec_id, v,
+                   {bucket_expr} AS bucket
+            FROM b
+        ),
+        q AS (SELECT v AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0)
+        SELECT vec_id AS id,
+               CAST(round(round(list_cosine_similarity(v, qv), 6) * 1000000) AS BIGINT)
+                   AS score_e6
+        FROM bucketed, q
+        WHERE bucket = qb
+        ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id ASC
+        LIMIT 5
+    """
+
+
+def _multimodal_oracle_sql() -> str:
+    """Byte-level SQL reconstruction of the deterministic fake decoder
+    (operators/multimodal.py:_fake_features): payload = UTF-8 text bytes
+    (pure ASCII in the testdata => char k == byte k), features = first 8
+    little-endian uint32 words (zero-padded) L2-normalized, cast float32.
+    Squares/sums run in DOUBLE on both engines; the e6 rounding absorbs any
+    last-ulp summation-order difference."""
+
+    def byte(k: int) -> str:
+        return f"(CASE WHEN length(text) >= {k + 1} THEN ord(substr(text, {k + 1}, 1)) ELSE 0 END)"
+
+    words = [
+        " + ".join(
+            f"{byte(4 * i + j)} * CAST({256 ** j} AS DOUBLE)" for j in range(4)
+        )
+        for i in range(8)
+    ]
+    u_cols = ",\n                   ".join(f"({w}) AS u{i}" for i, w in enumerate(words))
+    sq = " + ".join(f"u{i} * u{i}" for i in range(8))
+    feats = ",\n               ".join(
+        f"CAST(round(CASE WHEN norm = 0 THEN 0.0 ELSE CAST(CAST(u{i} / norm AS REAL) AS DOUBLE) END * 1000000) AS BIGINT) AS f{i}_e6"
+        for i in range(8)
+    )
+    return f"""
+        WITH u AS (
+            SELECT doc_id, length(text) AS n_bytes,
+                   {u_cols}
+            FROM documents
+        ),
+        n AS (SELECT *, sqrt({sq}) AS norm FROM u)
+        SELECT doc_id AS media_id, CAST(n_bytes AS INT) AS n_bytes,
+               {feats}
+        FROM n
+    """
+
 
 # salted variant (see _planted_corpus(salt=True)): 50 doc-unique suffix
 # tokens separate genuine near-dups in the base corpus from the planted
@@ -853,6 +987,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_planted": _PLANTED_SALTED_PAIRS_SQL,
         "simhash_planted": _PLANTED_SALTED_PAIRS_SQL,
         "fingerprint_planted": _PLANTED_PAIRS_SQL,
+        # byte-level reconstruction of the deterministic fake decoder — the
+        # multimodal PLUMBING (schema, byte handling, normalization, Arrow
+        # batch shape) is oracle-checked even though the real decoder stays a
+        # documented stub (no PIL/ffmpeg in this container)
+        "multimodal_features": _multimodal_oracle_sql(),
+        # full LSH-ANN path: bucket assignment from the literal hyperplanes
+        # + rounded-cosine top-k inside the query's bucket
+        "ann_lsh": _ann_lsh_oracle_sql(),
         "ngram_jaccard": r"""
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -951,6 +1093,90 @@ def oracle_sql() -> dict[str, str]:
                        + CASE WHEN punct_ratio <= 0.05 THEN 0.2 ELSE 0.05 END, 6)
                        * 1000000) AS BIGINT) AS quality_score_e6
             FROM ratios
+        """,
+        "politeness_schedule": """
+            WITH params AS (
+                SELECT count(*) AS n, greatest(4, count(*) // 50) AS nh
+                FROM documents
+            ),
+            node AS (
+                SELECT d.doc_id AS doc,
+                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
+                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
+                       d.doc_id % p.nh AS h,
+                       ((d.doc_id % p.nh) % 5 = 1
+                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
+                       d.doc_id % 4 = 0 AS keyword_hit,
+                       greatest(
+                           coalesce(CASE WHEN (d.doc_id % p.nh) % 5 <> 1
+                                          AND (d.doc_id % p.nh) % 7 = 3
+                                         THEN 4500 END, 0),
+                           2000) AS eff
+                FROM documents d, params p
+            ),
+            slots AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY h
+                           ORDER BY blocked ASC, keyword_hit DESC, doc ASC
+                       ) - 1 AS slot,
+                       greatest(1, floor(6000.0 / eff)) AS cap
+                FROM node
+            )
+            SELECT url, blocked AS robots_blocked,
+                   CAST(eff AS BIGINT) AS effective_delay_ms,
+                   CAST(CASE WHEN blocked THEN NULL ELSE slot END AS INT) AS host_slot,
+                   CAST(CASE WHEN blocked THEN NULL ELSE slot * eff END AS BIGINT)
+                       AS sched_offset_ms,
+                   CAST(CASE WHEN blocked THEN NULL
+                             ELSE floor(slot * 1.0 / cap) END AS INT) AS slice
+            FROM slots
+        """,
+        "corpus_curation": rf"""
+            WITH feats AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '{TOKEN_PAT}')) AS n_tokens,
+                       len(regexp_extract_all(text, '{PUNCT_PAT}')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '{en_re}'))
+                         + len(regexp_extract_all(lower(text), '{de_re}')) AS n_stop,
+                       len(regexp_extract_all(text, '\s')) AS n_ws,
+                       len(regexp_extract_all(lower(text), '{de_re}')) AS de_hits,
+                       len(regexp_extract_all(lower(text), '{en_re}')) AS en_hits
+                FROM documents
+            ),
+            ratios AS (
+                SELECT doc_id, text, n_tokens, de_hits, en_hits,
+                       round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+                       round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+                       round((n_chars - n_ws) * 1.0 / greatest(n_tokens, 1), 6)
+                           AS mean_token_len
+                FROM feats
+            ),
+            scored AS (
+                SELECT doc_id, text, n_tokens,
+                       CASE WHEN de_hits = 0 AND en_hits = 0 THEN 'unknown'
+                            WHEN de_hits >= en_hits THEN 'de'
+                            ELSE 'en' END AS lang_pred,
+                       round(
+                           least(stopword_ratio * 4, 1.0) * 0.4
+                           + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                                  THEN 0.4 ELSE 0.1 END
+                           + CASE WHEN punct_ratio <= 0.05 THEN 0.2 ELSE 0.05 END,
+                           6) AS quality_score
+                FROM ratios
+            ),
+            kept AS (
+                SELECT * FROM scored
+                WHERE lang_pred = 'en' AND quality_score >= 0.65
+            ),
+            rep AS (
+                SELECT md5(text) AS h, min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+            )
+            SELECT k.doc_id, k.n_tokens,
+                   CAST(round(k.quality_score * 1000000) AS BIGINT) AS quality_score_e6
+            FROM kept k JOIN rep r ON k.doc_id = r.doc_id
         """,
         "token_count": rf"""
             SELECT doc_id,

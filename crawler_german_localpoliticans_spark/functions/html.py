@@ -265,7 +265,58 @@ def extract_text(html: str | bytes | None) -> str:
     return " ".join("".join(collector.chunks).split())
 
 
+def _dom_text(node: object, chunks: list[str]) -> None:
+    """Visible-text walk over an already-built DOM — the single-parse fast
+    path for `clean_and_extract`. Byte-equal to re-parsing the serialized
+    DOM through `extract_text` (the contract function):
+    - stored text children are raw source slices with entity/charref
+      children kept as complete `&name;` units, so per-chunk
+      `html.unescape` equals the re-parse's convert_charrefs decode
+      (entities never span chunk boundaries — the tolerant builder only
+      splits text at markup);
+    - comments/declarations are skipped, rawtext subtrees skipped, block
+      boundaries become word breaks — same rules as _TextCollector.
+    Differentially tested against extract_text(serialize(dom)) in
+    tests/test_functions_html.py (fixtures + hypothesis random HTML)."""
+    from html import unescape
+
+    if isinstance(node, str):
+        chunks.append(unescape(node))
+        return
+    if isinstance(node, _Comment):
+        return
+    assert isinstance(node, _Node)
+    if node.tag in RAWTEXT_ELEMENTS:
+        return
+    is_block = node.tag in BLOCK_ELEMENTS
+    if is_block:
+        chunks.append(" ")
+    for child in node.children:
+        _dom_text(child, chunks)
+    if is_block:
+        chunks.append(" ")
+
+
 def clean_and_extract(html: str | bytes | None) -> tuple[str, str]:
-    """(clean_html, extract_text-of-clean) in one pass over the input."""
-    cleaned = clean_html(html)
-    return cleaned, extract_text(cleaned)
+    """(clean_html, extract_text-of-clean) with ONE parse: build the DOM,
+    drop <script> subtrees, serialize (the clean_html bytes), and take the
+    visible text from the same DOM instead of re-parsing the serialized
+    string — 2x on the extraction hot path, byte-identical output
+    (differential test vs the two-parse contract path)."""
+    if html is None:
+        return "", ""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    try:
+        root = _parse(html)
+        _drop_tag(root, "script")
+        out: list[str] = []
+        _serialize(root, out)
+        cleaned = "".join(out)
+    except Exception:
+        # parse error -> input verbatim (clean_html contract); text falls
+        # back to the tolerant streaming extractor over the raw input
+        return html, extract_text(html)
+    chunks: list[str] = []
+    _dom_text(root, chunks)
+    return cleaned, " ".join("".join(chunks).split())

@@ -5,7 +5,11 @@ SURVEY.md §7)."""
 
 from __future__ import annotations
 
+import hypothesis
+import hypothesis.strategies as st
+
 from crawler_german_localpoliticans_spark.functions.html import (
+    clean_and_extract,
     clean_html,
     extract_links,
     extract_text,
@@ -89,3 +93,59 @@ def test_extract_text_decodes_entities():
 def test_extract_text_empty():
     assert extract_text("") == ""
     assert extract_text(None) == ""
+
+
+# --------------------------------------------------------------------------
+# single-parse fast path == two-parse contract path (byte differential)
+# --------------------------------------------------------------------------
+
+_ADVERSARIAL = [
+    "",
+    "kein html nur text",
+    "<p>a &amp; b &uuml; &#38; &#x26; &unknownent; &amp x</p>",
+    "a < b und a <3 b und x&y",
+    "abc<",
+    "x&",
+    "&ampx &amp",
+    "<div><p>Offen<ul><li>Eins<li>Zwei</div>",
+    "<body><script><div>inner</div></script><p>keep</p></body>",
+    "<style>p { content: '<a href=x>'; }</style><p>sichtbar</p>",
+    "<!-- kommentar --><!DOCTYPE html><p>text</p>",
+    "<p/><br/><img src='x'/>nach void",
+    "</p>stray close<p>open",
+    "<P>UPPER</P><A HREF='/x'>link</A>glue<a>more</a>",
+    "<script>unterminated...",
+    "<td>cell</td>text<table><tr><td>in</td></tr></table>",
+]
+
+
+def test_clean_and_extract_equals_contract_path_on_fixtures():
+    for raw in _ADVERSARIAL:
+        cleaned, text = clean_and_extract(raw)
+        assert cleaned == clean_html(raw), raw
+        assert text == extract_text(cleaned), raw
+
+
+@hypothesis.settings(max_examples=300, deadline=None)
+@hypothesis.given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(
+                [
+                    "<p>", "</p>", "<div>", "</div>", "<li>", "<a href='/x'>",
+                    "</a>", "<script>", "</script>", "<style>", "</style>",
+                    "<br/>", "<span>", "</span>", "<!--c-->", "&amp;", "&lt;",
+                    "&#38;", "&unknown;", "&amp", "&", "<", ">", " ", "\n",
+                    "wort", "Straße", "a < b", "x&y;", "<P >", "</ p>",
+                ]
+            ),
+            st.text(max_size=8),
+        ),
+        max_size=40,
+    )
+)
+def test_clean_and_extract_equals_contract_path_hypothesis(parts):
+    raw = "".join(parts)
+    cleaned, text = clean_and_extract(raw)
+    assert cleaned == clean_html(raw)
+    assert text == extract_text(cleaned)

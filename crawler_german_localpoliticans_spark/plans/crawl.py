@@ -408,11 +408,14 @@ class CrawlDriver:
             # the dedup chain (prefilter + anti-join) feeds three consumers
             # (seq bounds, bucket counts, frontier write) — persist it once
             pre_seq = definite_new.unionByName(survivors).persist()
+            # parent_seq ∈ [0, next_seq) by construction (parents are
+            # already-sequenced rows), so the bucket-range scan is free
             new_urls, enqueued = assign_global_seq_counted(
                 pre_seq,
                 ["parent_seq", "pos"],
                 base=next_seq,
                 buckets=cfg.shuffle_partitions,
+                known_bounds=(0, max(next_seq - 1, 0)),
             )
             next_frontier = new_urls.select(
                 "seq",

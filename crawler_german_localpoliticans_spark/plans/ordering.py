@@ -40,17 +40,29 @@ def assign_global_seq_counted(
     base: int = 0,
     buckets: int = 32,
     out_col: str = "seq",
+    known_bounds: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, int]:
     """Like assign_global_seq, also returning the total row count — the
     per-bucket counts already pay for it, so callers never need an extra
-    count() action."""
+    count() action.
+
+    `known_bounds=(lo, hi)` skips the bounds scan when the caller already
+    knows the leading column's inclusive range (e.g. crawl expansion:
+    parent_seq ∈ [0, next_seq-1] by construction) — one less full pass over
+    the input, which at 10^10-candidate waves is a whole scan saved. The
+    bounds only steer bucket BALANCE; correctness needs lo <= min(lead)
+    (bucket ids just clamp coarser if hi is loose), which the callers
+    guarantee by construction."""
     lead = order_cols[0]
-    bounds = df.agg(
-        F.min(lead).alias("lo"), F.max(lead).alias("hi"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    if bounds["n"] == 0:
-        return df.withColumn(out_col, F.lit(0).cast("long")), 0
-    lo, hi = bounds["lo"], bounds["hi"]
+    if known_bounds is not None:
+        lo, hi = known_bounds
+    else:
+        bounds = df.agg(
+            F.min(lead).alias("lo"), F.max(lead).alias("hi"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if bounds["n"] == 0:
+            return df.withColumn(out_col, F.lit(0).cast("long")), 0
+        lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo) + 1 if hi is not None else 1
     bucket = (
         ((F.col(lead) - F.lit(lo)) * F.lit(buckets) / F.lit(span)).cast("int")

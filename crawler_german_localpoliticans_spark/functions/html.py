@@ -265,6 +265,15 @@ def extract_text(html: str | bytes | None) -> str:
     return " ".join("".join(collector.chunks).split())
 
 
+class _ReparseSensitive(Exception):
+    """A text chunk contains a literal '<': once serialized adjacent to the
+    next tag it could re-lex as markup (e.g. raw input '<p><wort' stores
+    data '<wort', whose serialization '<p><wort</p>' re-parses with the
+    chunk swallowed into a bogus tag). The walk cannot reproduce that
+    re-lexing, so such documents take the two-parse contract path. Found by
+    the hypothesis differential test — kept as an explicit guard."""
+
+
 def _dom_text(node: object, chunks: list[str]) -> None:
     """Visible-text walk over an already-built DOM — the single-parse fast
     path for `clean_and_extract`. Byte-equal to re-parsing the serialized
@@ -274,6 +283,8 @@ def _dom_text(node: object, chunks: list[str]) -> None:
       `html.unescape` equals the re-parse's convert_charrefs decode
       (entities never span chunk boundaries — the tolerant builder only
       splits text at markup);
+    - text chunks containing a literal '<' raise _ReparseSensitive (see
+      above) and the caller falls back to the contract path;
     - comments/declarations are skipped, rawtext subtrees skipped, block
       boundaries become word breaks — same rules as _TextCollector.
     Differentially tested against extract_text(serialize(dom)) in
@@ -281,6 +292,8 @@ def _dom_text(node: object, chunks: list[str]) -> None:
     from html import unescape
 
     if isinstance(node, str):
+        if "<" in node:
+            raise _ReparseSensitive
         chunks.append(unescape(node))
         return
     if isinstance(node, _Comment):
@@ -317,6 +330,10 @@ def clean_and_extract(html: str | bytes | None) -> tuple[str, str]:
         # parse error -> input verbatim (clean_html contract); text falls
         # back to the tolerant streaming extractor over the raw input
         return html, extract_text(html)
-    chunks: list[str] = []
-    _dom_text(root, chunks)
-    return cleaned, " ".join("".join(chunks).split())
+    try:
+        chunks: list[str] = []
+        _dom_text(root, chunks)
+        text = " ".join("".join(chunks).split())
+    except _ReparseSensitive:
+        text = extract_text(cleaned)
+    return cleaned, text

@@ -88,6 +88,30 @@ def with_quality_score(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 6))
 
 
+def doc_frequency(
+    df: DataFrame, id_col: str, text_col: str, n_docs: int, min_df: int = 1
+) -> DataFrame:
+    """Corpus vocabulary statistics: per-token document frequency and
+    idf = ln(N / df) — the DF/IDF table a training-data pipeline needs for
+    vocab pruning, stopword discovery and contamination checks.
+
+    One explode of per-doc DISTINCT whitespace tokens + one hash groupBy
+    (map-side partial agg); `n_docs` is passed in (the caller usually knows
+    it — never a second scan hidden inside the operator)."""
+    from .dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
+    ).where(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where(F.col("df_count") >= min_df)
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df_count")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting (rolling hash / winnowing-style)
 # ---------------------------------------------------------------------------

@@ -63,10 +63,25 @@ def with_hashes(df: DataFrame, url_col: str, partitions: int) -> DataFrame:
     )
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants) — decorrelates the bit
+    positions from the PARTITION key: part = pmod(h1, P) fixes h1 mod P, and
+    since P | 64 | m, raw `h1 mod m` would confine every key's first probe
+    to the same m/P stripe of its partition's bitset (measured 7.7% FPR at
+    a configured 1% before this mix — caught by tests/test_bloom.py)."""
+    x = x.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
-    """(n, k) bit positions via double hashing, uint64 wraparound arithmetic."""
-    u1 = h1.astype(np.uint64)
-    u2 = h2.astype(np.uint64)
+    """(n, k) bit positions via double hashing over MIXED hashes, uint64
+    wraparound arithmetic. The stride is forced odd: gcd(step, m) == 1
+    (m is a multiple of 64), so the k probes never collapse onto a short
+    cycle."""
+    u1 = _mix64(h1)
+    u2 = _mix64(h2) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)
     return ((u1[:, None] + i[None, :] * u2[:, None]) % np.uint64(m)).astype(np.int64)
 

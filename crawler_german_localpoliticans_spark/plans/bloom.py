@@ -86,12 +86,37 @@ def _positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
     return ((u1[:, None] + i[None, :] * u2[:, None]) % np.uint64(m)).astype(np.int64)
 
 
+#: bump when the probe-position derivation changes — a resumed run reading
+#: bitsets built under a different scheme would return FALSE NEGATIVES,
+#: which (unlike false positives) break the exact-set invariant via the
+#: definite-new fast path, so a mismatch must fail loudly.
+PROBE_ALGO = "splitmix64-oddstride-v2"
+
+
 class BloomSidecar:
     def __init__(self, root: str, partitions: int, capacity: int, fpp: float) -> None:
+        import json
+
         self.dir = os.path.join(root, "bloom")
         self.partitions = partitions
         self.m, self.k = bloom_params(capacity, fpp)
         os.makedirs(self.dir, exist_ok=True)
+        meta = {"m": self.m, "k": self.k, "algo": PROBE_ALGO}
+        meta_path = os.path.join(self.dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as f:
+                existing = json.load(f)
+            if existing != meta:
+                raise ValueError(
+                    f"bloom sidecar params changed ({existing} -> {meta}); "
+                    "existing bitsets would give false negatives — start a "
+                    "fresh work_dir instead of resuming"
+                )
+        else:
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
 
     def _vdir(self, version: int) -> str:
         return os.path.join(self.dir, f"v={version:06d}")

@@ -106,6 +106,15 @@ def _q_crawl_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.extracted.select("url", "text", "custom_id").orderBy("url")
 
 
+def _q_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.json's 'URL-seen exact set match' invariant as its own named
+    driver row: the engine's url_seen table (== distinct frontier urls, the
+    D2 invariant incl. blocked/failed rows) vs the reachable set re-derived
+    in SQL."""
+    tables = _flagship_tables(spark, sf_dir, 2)
+    return tables.url_seen.select("url")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_german_localpoliticans_spark.operators.dedup import exact_dedup
 
@@ -590,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": _q_crawl_bfs,
         "crawl_reachability": _q_crawl_reachability,
         "crawl_extracted": _q_crawl_extracted,
+        "url_seen": _q_url_seen,
         "exact_dedup": _q_exact_dedup,
         "minhash_neardup": _q_minhash_neardup,
         "minhash_planted": _q_minhash_planted,
@@ -940,6 +950,66 @@ def oracle_sql() -> dict[str, str]:
                               AND (doc_id % p.nh) % 7 = 3
                              THEN 4500 END AS BIGINT) AS crawl_delay_ms
             FROM documents d, params p
+        """,
+        # BASELINE invariant "URL-seen exact set match": url_seen == distinct
+        # frontier urls over rounds 0..2 (seed re-enqueues collapse; blocked
+        # and failed URLs stay seen).
+        "url_seen": """
+            WITH params AS (
+                SELECT count(*) AS n,
+                       greatest(4, count(*) // 50) AS nh,
+                       greatest(4, count(*) // 100) AS ns
+                FROM documents
+            ),
+            node AS (
+                SELECT d.doc_id AS doc,
+                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
+                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
+                       ((d.doc_id % p.nh) % 5 = 1
+                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked
+                FROM documents d, params p
+            ),
+            edge AS (
+                SELECT DISTINCT s.doc AS src, g.tgt
+                FROM node s, params p,
+                     unnest([
+                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
+                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
+                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
+                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
+                        0
+                     ]) AS g(tgt)
+            ),
+            l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns),
+            l1 AS (
+                SELECT e.tgt AS doc, min(e.src) AS first_parent
+                FROM edge e
+                JOIN l0 ON e.src = l0.doc
+                JOIN node pn ON pn.doc = e.src
+                WHERE NOT pn.blocked
+                GROUP BY e.tgt
+            ),
+            l1k AS (
+                SELECT l1.doc FROM l1, params p
+                WHERE l1.doc >= p.ns OR l1.first_parent < l1.doc
+            ),
+            l2 AS (
+                SELECT DISTINCT e.tgt AS doc
+                FROM edge e
+                JOIN l1k ON e.src = l1k.doc
+                JOIN node pn ON pn.doc = e.src
+                WHERE NOT pn.blocked
+                  AND e.tgt NOT IN (SELECT doc FROM l0)
+                  AND e.tgt NOT IN (SELECT doc FROM l1k)
+            )
+            SELECT DISTINCT n.url
+            FROM (
+                SELECT doc FROM l0
+                UNION SELECT doc FROM l1k
+                UNION SELECT doc FROM l2
+            ) f
+            JOIN node n ON n.doc = f.doc
         """,
         # Membership/flags view of the same crawl (kept alongside crawl_bfs:
         # this one checks reachability independently of the order logic).

@@ -23,6 +23,13 @@ operator here is shuffle-conscious:
 Portability contract: all hash primitives are crc32 (zlib == JVM CRC32 ==
 Spark `F.crc32`), so the pytest oracle recomputes identical signatures in
 pure Python — see tests/test_dedup.py.
+
+Scale note (honest limitation): crc32 is 32-bit, so at >= ~10^9 DISTINCT
+shingles corpus-wide, hash collisions start to bias MinHash estimates
+upward. At that scale swap the shingle hash for `F.xxhash64` (a one-line
+change in `minhash_signatures` plus widening MINHASH_PRIME to a 61-bit
+modulus) — the cost is the pure-Python parity oracle, which would then need
+a Python xxhash64. The banded LSH structure is unaffected either way.
 """
 
 from __future__ import annotations

@@ -61,14 +61,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_CRAWL_CACHE: dict[tuple[str, int], object] = {}
+_CRAWL_CACHE: dict[tuple[int, str, int], object] = {}
 
 
 def _flagship_tables(spark: SparkSession, sf_dir: str, max_depth: int = 2):
     """The flagship crawl feeds several queries() entries; run it once per
-    (sf_dir, max_depth) within a driver session — the output tables are
-    deterministic parquet, so reuse is sound."""
-    key = (sf_dir, max_depth)
+    (session, sf_dir, max_depth) — the output tables are deterministic
+    parquet, so reuse is sound; keying on the session id keeps a cached
+    DataFrame from outliving the SparkSession that created it."""
+    key = (id(spark), sf_dir, max_depth)
     if key not in _CRAWL_CACHE:
         from crawler_german_localpoliticans_spark.sources.webcorpus import run_flagship_crawl
 
@@ -243,33 +244,30 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("id", _e6(F.col("score")).alias("score_e6"))
 
 
-_LSH_CACHE: dict[str, DataFrame] = {}
+_LSH_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN with the index built ONCE per sf_dir: the bucketed
-    vector table persists (bucket = partition key in production => pruned
-    scan per probe); each query scores only its own bucket with the Arrow
-    matvec kernel."""
+    """Sign-LSH ANN with the index built ONCE per (session, sf_dir): the
+    bucketed vector table persists (bucket = partition key in production =>
+    pruned scan per probe); each query scores only its own bucket with the
+    Arrow matvec kernel. Bucket derivation is the shared
+    similarity.query_bucket — never a local re-implementation."""
     from crawler_german_localpoliticans_spark.operators.similarity import (
         cosine_topk_bruteforce,
-        hyperplanes,
+        query_bucket,
         with_lsh_bucket,
     )
 
-    import numpy as np
-
-    if sf_dir not in _LSH_CACHE:
+    key = (id(spark), sf_dir)
+    if key not in _LSH_CACHE:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         bucketed = with_lsh_bucket(emb, "embedding", dim=64, n_planes=8).persist()
         bucketed.count()
-        _LSH_CACHE[sf_dir] = bucketed
-    bucketed = _LSH_CACHE[sf_dir]
+        _LSH_CACHE[key] = bucketed
+    bucketed = _LSH_CACHE[key]
     q = _query_vec(spark, sf_dir)
-    planes = hyperplanes(64, 8)
-    signs = (planes @ np.asarray(q, dtype=np.float64)) > 0
-    qb = sum(1 << i for i in range(8) if signs[i])
-    cand = bucketed.where(F.col("bucket") == int(qb))
+    cand = bucketed.where(F.col("bucket") == query_bucket(q, n_planes=8, dim=64))
     return cosine_topk_bruteforce(cand, "vec_id", "embedding", q, k=5).select(
         "id", _e6(F.col("score")).alias("score_e6")
     )
@@ -457,22 +455,23 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CACHE: dict[str, tuple] = {}
+_IVF_CACHE: dict[tuple[int, str], tuple] = {}
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index built ONCE per sf_dir (persisted assigned table + centroid
-    metadata), then probed — the KMeans fit never runs on the query path
-    (operators/similarity.py ivf_build/ivf_probe)."""
+    """IVF index built ONCE per (session, sf_dir) — persisted assigned table
+    + centroid metadata, then probed; the KMeans fit never runs on the query
+    path (operators/similarity.py ivf_build/ivf_probe)."""
     from crawler_german_localpoliticans_spark.operators.similarity import ivf_build, ivf_probe
 
-    if sf_dir not in _IVF_CACHE:
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CACHE:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         assigned, centroids = ivf_build(emb, "vec_id", "embedding", n_cells=8)
         assigned = assigned.persist()
         assigned.count()
-        _IVF_CACHE[sf_dir] = (assigned, centroids)
-    assigned, centroids = _IVF_CACHE[sf_dir]
+        _IVF_CACHE[key] = (assigned, centroids)
+    assigned, centroids = _IVF_CACHE[key]
     q = _query_vec(spark, sf_dir)
     return ivf_probe(assigned, centroids, "vec_id", "embedding", q, k=5, nprobe=2).select(
         "id", _e6(F.col("score")).alias("score_e6")

@@ -335,6 +335,19 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _valid_vec_rows(pdf: pd.DataFrame, vec_col: str = "vec") -> pd.DataFrame:
+    """Drop null / off-dimension vectors from a block kernel's input —
+    equivalent to the null-cosine rows the streaming join variant filters
+    out. Dominant length wins; ties break to the smaller length so the
+    choice is a pure function of the block's contents."""
+    lengths = pdf[vec_col].map(lambda v: -1 if v is None else len(v))
+    counts = lengths[lengths >= 0].value_counts()
+    if counts.empty:
+        return pdf.iloc[0:0]
+    best = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0][0]
+    return pdf[lengths == best]
+
+
 def cosine_col(vec_a, vec_b):
     """JVM-side cosine over array<float/double> columns (zip_with +
     aggregate, computed in double, left-to-right — matches DuckDB's
@@ -375,6 +388,7 @@ def embedding_neardup_pairs(
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _valid_vec_rows(pdf)
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})

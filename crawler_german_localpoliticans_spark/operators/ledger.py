@@ -166,7 +166,15 @@ def join_outputs_with_request_metadata(
     live = requests.where(
         F.col("stored_at") >= F.lit(as_of) - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
     )
-    w = Window.partitionBy("custom_id").orderBy(F.col("stored_at").desc())
+    # stored_at ties (same-second batch stores) need a deterministic winner:
+    # break on the remaining column VALUES so repeated runs always join the
+    # same metadata row — the engine's reproducibility contract
+    tiebreak = [
+        F.col(c).asc_nulls_last()
+        for c in requests.columns
+        if c not in ("custom_id", "stored_at")
+    ]
+    w = Window.partitionBy("custom_id").orderBy(F.col("stored_at").desc(), *tiebreak)
     latest = (
         live.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

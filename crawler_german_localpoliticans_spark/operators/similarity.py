@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import cosine_col
+from .dedup import _valid_vec_rows, cosine_col
 
 
 def cosine_scores_udf(query: list[float]):
@@ -33,12 +33,25 @@ def cosine_scores_udf(query: list[float]):
 
     @F.pandas_udf(T.DoubleType())
     def score(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=np.float64)
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        dots = mat @ q
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        return pd.Series(np.round(dots / (norms * qn), 6))
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype="Float64")
+        # null / wrong-dim vectors score NULL (sorted last by the top-k's
+        # DESC order) — the tolerance the replaced JVM expression had
+        vals: list[float | None] = [None] * n
+        good = [
+            (i, np.asarray(v, dtype=np.float64))
+            for i, v in enumerate(vecs)
+            if v is not None and len(v) == q.shape[0]
+        ]
+        if good:
+            mat = np.vstack([g[1] for g in good])
+            dots = mat @ q
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            s = np.round(dots / (norms * qn), 6)
+            for j, (i, _) in enumerate(good):
+                vals[i] = float(s[j])
+        return pd.Series(vals, dtype="Float64")
 
     return score
 
@@ -84,6 +97,19 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket(F.col(vec_col)))
 
 
+def query_bucket(
+    query: list[float], n_planes: int = 8, seed: int = 42, dim: int | None = None
+) -> int:
+    """The sign-LSH bucket of a query vector — THE single definition of the
+    bit packing shared by with_lsh_bucket's per-row UDF, ann_topk_lsh, and
+    the driver queries (a second inline copy of this derivation is how the
+    seed/bit-order silently drifts)."""
+    dim = dim or len(query)
+    planes = hyperplanes(dim, n_planes, seed)
+    signs = (planes @ np.asarray(query, dtype=np.float64)) > 0
+    return int(sum(1 << i for i in range(n_planes) if signs[i]))
+
+
 def ann_topk_lsh(
     df: DataFrame,
     id_col: str,
@@ -99,14 +125,8 @@ def ann_topk_lsh(
     instead of a full one."""
     dim = dim or len(query)
     bucketed = with_lsh_bucket(df, vec_col, dim, n_planes, seed)
-    planes = hyperplanes(dim, n_planes, seed)
-    q = np.asarray(query, dtype=np.float64)
-    qb = 0
-    signs = (planes @ q) > 0
-    for i in range(n_planes):
-        if signs[i]:
-            qb |= 1 << i
-    cand = bucketed.where(F.col("bucket") == int(qb))
+    qb = query_bucket(query, n_planes, seed, dim)
+    cand = bucketed.where(F.col("bucket") == qb)
     return cosine_topk_bruteforce(cand, id_col, vec_col, query, k)
 
 
@@ -207,6 +227,7 @@ def pairwise_topk_blocked(
     )
 
     def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _valid_vec_rows(pdf)
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({c.name: [] for c in out_schema})
@@ -214,19 +235,22 @@ def pairwise_topk_blocked(
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
         norms = np.sqrt((mat * mat).sum(axis=1))
         sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
-        out_id, out_nb, out_sc, out_rk = [], [], [], []
+        kk = min(k, n - 1)
+        # per-row vectorized selection: lexsort on (-score, neighbor id) is
+        # C-speed; no per-element Python comparisons
+        sel = np.empty((n, kk), dtype=np.int64)
         for i in range(n):
-            order = sorted(
-                (j for j in range(n) if j != i),
-                key=lambda j: (-sims[i, j], ids[j]),
-            )[:k]
-            for r, j in enumerate(order, start=1):
-                out_id.append(ids[i])
-                out_nb.append(ids[j])
-                out_sc.append(float(sims[i, j]))
-                out_rk.append(r)
+            order = np.lexsort((ids, -sims[i]))
+            sel[i] = order[order != i][:kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = sel.ravel()
         return pd.DataFrame(
-            {"id": out_id, "neighbor": out_nb, "score": out_sc, "rank": out_rk}
+            {
+                "id": ids[rows],
+                "neighbor": ids[cols],
+                "score": sims[rows, cols],
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+            }
         )
 
     base = df.select(

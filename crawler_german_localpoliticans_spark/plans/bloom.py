@@ -113,6 +113,17 @@ class BloomSidecar:
                     "fresh work_dir instead of resuming"
                 )
         else:
+            # legacy dirs (bitsets written before the meta marker existed)
+            # must NOT be blessed with fresh meta: their positions came from
+            # an unknown probe scheme, so probing them is a false-negative
+            # hazard — refuse just like a params mismatch
+            if any(name.startswith("v=") for name in os.listdir(self.dir)):
+                raise ValueError(
+                    "bloom sidecar has bitset versions but no meta.json "
+                    "(written by a pre-meta build); probing them with the "
+                    "current scheme risks false negatives — start a fresh "
+                    "work_dir instead of resuming"
+                )
             tmp = meta_path + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(meta, f)

@@ -74,8 +74,12 @@ def merge_storage_objects(
     - new_ledger: listed rows overwrite matching ledger rows (the reference's
       ON CONFLICT DO UPDATE); unlisted ledger rows survive untouched;
     - to_process: the listed rows with `inserted` / `etag_changed` flags —
-      exactly the rows the reference re-upserts. Null etags compare
-      null-safely (None != None is False in the reference's Python check).
+      exactly the rows the reference re-upserts. Flag semantics match the
+      reference exactly: `etag_changed` initializes True and is only
+      compared when a ledger row existed (crawler_ingest.py:257-260), so
+      inserted rows carry (inserted=True, etag_changed=True) on both the
+      bootstrap and incremental paths. Null etags compare null-safely
+      (None != None is False in the reference's Python check).
 
     Idempotence: merging the same listing twice flags nothing the second
     time — the ledger already carries the new etags (tests/test_resume.py).
@@ -96,7 +100,7 @@ def merge_storage_objects(
         gated.withColumn("inserted", F.col("_present").isNull())
         .withColumn(
             "etag_changed",
-            F.col("_present").isNotNull() & ~F.col("etag").eqNullSafe(F.col("_old_etag")),
+            F.col("_present").isNull() | ~F.col("etag").eqNullSafe(F.col("_old_etag")),
         )
         .where(F.col("inserted") | F.col("etag_changed"))
         .drop("_old_etag", "_present")

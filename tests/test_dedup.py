@@ -131,6 +131,31 @@ def test_embedding_neardup_blas_equals_join_variant(spark):
         assert abs(v - j[k_]) < 1e-9, (k_, v, j[k_])
 
 
+def test_embedding_kernels_tolerate_null_and_ragged_vectors(spark):
+    """A null or wrong-dimension embedding must not crash the block kernel
+    or the query scorer — it drops out (pairs) or scores NULL (top-k),
+    matching the replaced JVM expressions' null propagation."""
+    from crawler_german_localpoliticans_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [1.0, 0.0, 0.0], "a"),
+        (3, None, "a"),
+        (4, [1.0, 0.0], "a"),  # ragged
+        (5, [0.0, 1.0, 0.0], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    pairs = dedup.embedding_neardup_pairs(df, "vec_id", "embedding", "label", threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+    topk = similarity.cosine_topk_bruteforce(df, "vec_id", "embedding", [1.0, 0.0, 0.0], k=5)
+    got = [(r["id"], r["score"]) for r in topk.collect()]
+    # nulls sort last; valid vectors keep exact scores
+    assert got[0][0] in (1, 2) and abs(got[0][1] - 1.0) < 1e-9
+    assert {g[0] for g in got[:3]} == {1, 2, 5}
+    assert all(g[1] is None for g in got[3:])
+
+
 def test_crc32_parity_with_zlib(spark):
     df = spark.createDataFrame([("hello wörld",), ("",), ("a b",)], "s string")
     rows = df.select("s", F.crc32(F.encode("s", "UTF-8")).alias("c")).collect()

@@ -50,7 +50,10 @@ def test_etag_gate_flags_new_and_changed_only(spark):
     )
     ledger2, todo2 = merge_storage_objects(ledger, round2)
     got = {r["object_key"]: (r["inserted"], r["etag_changed"]) for r in todo2.collect()}
-    assert got == {"k2": (False, True), "k4": (True, False)}
+    # flag semantics per the reference (crawler_ingest.py:257-260):
+    # etag_changed initializes True and is only COMPARED when a ledger row
+    # existed, so an inserted row is (True, True)
+    assert got == {"k2": (False, True), "k4": (True, True)}
     # ledger carries the refreshed metadata for ALL listed objects
     led = {r["object_key"]: (r["etag"], r["size_bytes"]) for r in ledger2.collect()}
     assert led == {"k1": ("e1", 10), "k2": ("e2CHANGED", 25), "k3": (None, 30), "k4": ("e4", 40)}

@@ -14,6 +14,11 @@ are load-bearing for crawl-set parity (SURVEY.md §7):
   from then on only specific groups accumulate;
 - chosen groups' allow/disallow lists are concatenated; the first
   crawl-delay wins; fractional `Crawl-delay` seconds are ceil'd to ms;
+- non-finite / out-of-range `Crawl-delay` values follow Rust's saturating
+  `as u64` float cast (src/main.rs:219-221): NaN and negative values -> 0,
+  +inf saturates (clamped here to i64::MAX = 2^63-1, the widest value the
+  engine's signed-64 delay columns carry — same "effectively infinite"
+  semantics);
 - `is_allowed(path)`: longest matching allow prefix `a` vs longest matching
   disallow prefix `d`; disallowed iff `d > a and d > 0`.
 
@@ -90,8 +95,21 @@ def parse_robots(text: str, ua: str = DEFAULT_USER_AGENT) -> RobotsPolicy:
                 sec = float(v)
             except ValueError:
                 continue
-            if math.isfinite(sec):
-                cur.delay_ms = int(math.ceil(sec * 1000.0))
+            # Rust's `(sec * 1000.0).ceil() as u64` (src/main.rs:219-221) is a
+            # SATURATING cast: NaN -> 0, negative -> 0, +inf -> u64::MAX.
+            # Reproduce that exactly, except +inf clamps to i64::MAX because
+            # delay_ms flows into signed-64 Spark columns — semantically the
+            # same "effectively infinite" delay (see the module-docstring
+            # quirk list; pinned by tests/test_functions_robots.py).
+            ms = sec * 1000.0
+            if math.isnan(ms):
+                cur.delay_ms = 0
+            elif ms >= float(2**63 - 1):
+                cur.delay_ms = 2**63 - 1
+            elif ms <= 0.0:
+                cur.delay_ms = 0
+            else:
+                cur.delay_ms = int(math.ceil(ms))
     if cur.uas or cur._nonempty_rules():
         groups.append(cur)
 

@@ -335,17 +335,16 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _valid_vec_rows(pdf: pd.DataFrame, vec_col: str = "vec") -> pd.DataFrame:
-    """Drop null / off-dimension vectors from a block kernel's input —
-    equivalent to the null-cosine rows the streaming join variant filters
-    out. Dominant length wins; ties break to the smaller length so the
-    choice is a pure function of the block's contents."""
+def _vec_length_groups(pdf: pd.DataFrame, vec_col: str = "vec"):
+    """Yield the block's rows grouped by vector length (nulls dropped),
+    ascending length for determinism. Pairing WITHIN each length group makes
+    a block kernel exactly equivalent to the streaming join variant: a
+    mixed-length pair has a null zip_with dot there (filtered out), while two
+    same-length vectors always pair — even when their length is a minority in
+    the block (the round-2 dominant-length filter silently dropped those)."""
     lengths = pdf[vec_col].map(lambda v: -1 if v is None else len(v))
-    counts = lengths[lengths >= 0].value_counts()
-    if counts.empty:
-        return pdf.iloc[0:0]
-    best = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0][0]
-    return pdf[lengths == best]
+    for length in sorted(lengths[lengths >= 0].unique()):
+        yield pdf[lengths == length]
 
 
 def cosine_col(vec_a, vec_b):
@@ -374,9 +373,12 @@ def embedding_neardup_pairs(
     matrix once and all pairwise cosines come from a single BLAS gramian
     (G@G.T / outer(norms)) — O(n·d) Arrow transfer instead of materializing
     two vector copies per PAIR, and no per-element lambda interpretation
-    (the round-1 zip_with/aggregate path was interpreter-bound). Blocks are
-    bounded by construction; for unbounded blocks use
-    `embedding_neardup_pairs_join`, which streams pair rows."""
+    (the round-1 zip_with/aggregate path was interpreter-bound). Vectors
+    pair within same-LENGTH groups of the block (mixed-length pairs are
+    skipped, exactly as the join variant's null cosines are filtered — the
+    two variants return identical pair sets). Blocks are bounded by
+    construction; for unbounded blocks use `embedding_neardup_pairs_join`,
+    which streams pair rows."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -388,25 +390,31 @@ def embedding_neardup_pairs(
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _valid_vec_rows(pdf)
-        n = len(pdf)
-        if n < 2:
+        outs = []
+        for grp in _vec_length_groups(pdf):
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp["id"].to_numpy(dtype=np.int64)
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in grp["vec"]])
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+            iu, ju = np.triu_indices(n, k=1)
+            c = sims[iu, ju]
+            keep = c >= threshold
+            ia, ib = ids[iu[keep]], ids[ju[keep]]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "cosine": c[keep],
+                    }
+                )
+            )
+        if not outs:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
-        iu, ju = np.triu_indices(n, k=1)
-        c = sims[iu, ju]
-        keep = c >= threshold
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ia, ib),
-                "id_b": np.maximum(ia, ib),
-                "cosine": c[keep],
-            }
-        )
+        return pd.concat(outs, ignore_index=True)
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col(block_col).alias("blk")

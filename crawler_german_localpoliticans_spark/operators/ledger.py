@@ -156,7 +156,10 @@ def join_outputs_with_request_metadata(
     - `requests` needs (custom_id, stored_at, metadata...); repeated stores
       for one custom_id behave like Redis SET: the latest stored_at wins;
     - metadata older than `ttl_seconds` at `as_of` is EXPIRED and treated as
-      absent (the Redis key is gone);
+      absent (the Redis key is gone). The comparison is STRICT
+      (stored_at > as_of - ttl): a SETEX key is already expired at exactly
+      +ttl seconds, so a row stored precisely ttl seconds before as_of does
+      NOT join (Redis expiry-at-boundary semantics);
     - output rows are never dropped: missing/expired metadata joins as nulls
       (the reference proceeds with an empty metadata dict).
     `as_of` is explicit (no wall clock inside the engine — determinism).
@@ -164,7 +167,7 @@ def join_outputs_with_request_metadata(
     request_<sanitized filename>); the request side prunes to one row per
     custom_id before the join."""
     live = requests.where(
-        F.col("stored_at") >= F.lit(as_of) - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
+        F.col("stored_at") > F.lit(as_of) - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
     )
     # stored_at ties (same-second batch stores) need a deterministic winner:
     # break on the remaining column VALUES so repeated runs always join the

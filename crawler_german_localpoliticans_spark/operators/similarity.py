@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _valid_vec_rows, cosine_col
+from .dedup import _vec_length_groups, cosine_col
 
 
 def cosine_scores_udf(query: list[float]):
@@ -227,31 +227,39 @@ def pairwise_topk_blocked(
     )
 
     def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _valid_vec_rows(pdf)
-        n = len(pdf)
-        if n < 2:
+        # neighbors pair within same-length groups of the block (mixed-length
+        # cosines are undefined; mirrors the dedup kernels' grouping)
+        outs = []
+        for grp in _vec_length_groups(pdf):
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp["id"].to_numpy(dtype=np.int64)
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in grp["vec"]])
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+            kk = min(k, n - 1)
+            # per-row vectorized selection: lexsort on (-score, neighbor id)
+            # is C-speed; no per-element Python comparisons
+            sel = np.empty((n, kk), dtype=np.int64)
+            for i in range(n):
+                order = np.lexsort((ids, -sims[i]))
+                sel[i] = order[order != i][:kk]
+            rows = np.repeat(np.arange(n), kk)
+            cols = sel.ravel()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id": ids[rows],
+                        "neighbor": ids[cols],
+                        "score": sims[rows, cols],
+                        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+                    }
+                )
+            )
+        if not outs:
             return pd.DataFrame({c.name: [] for c in out_schema})
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
-        kk = min(k, n - 1)
-        # per-row vectorized selection: lexsort on (-score, neighbor id) is
-        # C-speed; no per-element Python comparisons
-        sel = np.empty((n, kk), dtype=np.int64)
-        for i in range(n):
-            order = np.lexsort((ids, -sims[i]))
-            sel[i] = order[order != i][:kk]
-        rows = np.repeat(np.arange(n), kk)
-        cols = sel.ravel()
-        return pd.DataFrame(
-            {
-                "id": ids[rows],
-                "neighbor": ids[cols],
-                "score": sims[rows, cols],
-                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
-            }
-        )
+        return pd.concat(outs, ignore_index=True)
 
     base = df.select(
         F.col(id_col).alias("id"),

@@ -156,6 +156,36 @@ def test_embedding_kernels_tolerate_null_and_ragged_vectors(spark):
     assert all(g[1] is None for g in got[3:])
 
 
+def test_embedding_kernel_pairs_minority_lengths(spark):
+    """Two same-length vectors whose length is a MINORITY in the block must
+    still pair (round-2 advice: the dominant-length filter silently dropped
+    them). The BLAS kernel now groups by length, exactly like the join
+    variant's null-cosine filtering."""
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [1.0, 0.0, 0.0], "a"),
+        (3, [1.0, 0.0, 0.0], "a"),
+        # minority length-2 pair: must be detected
+        (10, [0.6, 0.8], "a"),
+        (11, [0.6, 0.8], "a"),
+        (12, None, "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    blas = dedup.embedding_neardup_pairs(df, "vec_id", "embedding", "label", threshold=0.9)
+    join = dedup.embedding_neardup_pairs_join(df, "vec_id", "embedding", "label", threshold=0.9)
+    expected = {(1, 2), (1, 3), (2, 3), (10, 11)}
+    assert {(r["id_a"], r["id_b"]) for r in blas.collect()} == expected
+    assert {(r["id_a"], r["id_b"]) for r in join.collect()} == expected
+
+    # pairwise top-k: minority group gets neighbors within its own length
+    from crawler_german_localpoliticans_spark.operators import similarity
+
+    nb = similarity.pairwise_topk_blocked(df, "vec_id", "embedding", "label", k=2)
+    got = {(r["id"], r["neighbor"]) for r in nb.collect()}
+    assert (10, 11) in got and (11, 10) in got
+    assert all({a, b} <= {1, 2, 3} or {a, b} <= {10, 11} for a, b in got)
+
+
 def test_crc32_parity_with_zlib(spark):
     df = spark.createDataFrame([("hello wörld",), ("",), ("a b",)], "s string")
     rows = df.select("s", F.crc32(F.encode("s", "UTF-8")).alias("c")).collect()

@@ -106,3 +106,19 @@ def test_rules_before_any_ua_line():
     p = parse_robots("Disallow: /x\nUser-agent: *\nDisallow: /y\n")
     assert p.is_allowed("/x")
     assert not p.is_allowed("/y")
+
+
+def test_nonfinite_and_negative_delay_saturating_cast():
+    """Rust parses Crawl-delay with `(sec * 1000.0).ceil() as u64`
+    (src/main.rs:219-221) — a SATURATING float cast: NaN -> 0, negative -> 0,
+    +inf -> u64::MAX. The port clamps +inf to i64::MAX (the engine's delay
+    columns are signed 64-bit); everything else matches bit-for-bit."""
+    assert parse_robots("User-agent: *\nCrawl-delay: inf\n").crawl_delay_ms == 2**63 - 1
+    assert parse_robots("User-agent: *\nCrawl-delay: Infinity\n").crawl_delay_ms == 2**63 - 1
+    assert parse_robots("User-agent: *\nCrawl-delay: nan\n").crawl_delay_ms == 0
+    assert parse_robots("User-agent: *\nCrawl-delay: -3\n").crawl_delay_ms == 0
+    assert parse_robots("User-agent: *\nCrawl-delay: -inf\n").crawl_delay_ms == 0
+    # huge finite values saturate too, exactly like the Rust cast
+    assert parse_robots("User-agent: *\nCrawl-delay: 1e30\n").crawl_delay_ms == 2**63 - 1
+    # unparseable stays None (Rust: parse::<f64>() Err -> no delay)
+    assert parse_robots("User-agent: *\nCrawl-delay: bald\n").crawl_delay_ms is None

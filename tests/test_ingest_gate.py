@@ -130,12 +130,21 @@ def test_metadata_join_ttl_latest_wins_and_never_drops(spark):
     assert got == {"request_a.html": "muc-new", "request_b.html": None, "request_c.html": None}
 
 
-def test_metadata_join_boundary_is_inclusive_at_ttl(spark):
+def test_metadata_join_boundary_expires_exactly_at_ttl(spark):
+    """Redis SETEX expiry-at-boundary: a key stored EXACTLY ttl seconds before
+    as_of is already gone (strict stored_at > as_of - ttl), while one stored a
+    second later still joins."""
     as_of = _ts("2025-06-08 00:00:00")
-    outputs = spark.createDataFrame([("request_x",)], "custom_id string")
+    outputs = spark.createDataFrame([("request_x",), ("request_y",)], "custom_id string")
     requests = spark.createDataFrame(
-        [("request_x", _ts("2025-06-01 00:00:00"), "m")],
+        [
+            # exactly 7 days old at as_of: expired
+            ("request_x", _ts("2025-06-01 00:00:00"), "m"),
+            # one second inside the TTL: live
+            ("request_y", _ts("2025-06-01 00:00:01"), "m2"),
+        ],
         "custom_id string, stored_at timestamp, municipality string",
     )
     out = join_outputs_with_request_metadata(outputs, requests, as_of=as_of)
-    assert out.collect()[0]["municipality"] == "m"
+    got = {r["custom_id"]: r["municipality"] for r in out.collect()}
+    assert got == {"request_x": None, "request_y": "m2"}

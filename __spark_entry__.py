@@ -476,8 +476,28 @@ _IVF_CACHE: dict[tuple[str, str], tuple] = {}
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index built ONCE per (session, sf_dir) — persisted assigned table
     + centroid metadata, then probed; the KMeans fit never runs on the query
-    path (operators/similarity.py ivf_build/ivf_probe)."""
-    from crawler_german_localpoliticans_spark.operators.similarity import ivf_build, ivf_probe
+    path (operators/similarity.py ivf_build/ivf_probe).
+
+    The driver probe runs with nprobe = n_cells (FULL probe): probing every
+    cell of a correct IVF index must equal brute-force top-k exactly, which
+    IS SQL-expressible — the oracle is the same rounded-cosine top-5 the
+    cosine_topk oracle computes. KMeans centroids themselves aren't
+    SQL-derivable, so this invariant is what makes the build/probe machinery
+    (cell assignment completeness, probe-cell selection, candidate scoring)
+    hash-checkable. The PRUNED nprobe=2 path — the production access pattern
+    — is the driver's ann_ivf_pruned query (rows-only by design) and
+    tests/test_operators.py::test_ivf_topk_recall."""
+    assigned, centroids = _ivf_index(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    from crawler_german_localpoliticans_spark.operators.similarity import ivf_probe
+
+    return ivf_probe(
+        assigned, centroids, "vec_id", "embedding", q, k=5, nprobe=len(centroids)
+    ).select("id", _e6(F.col("score")).alias("score_e6"))
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    from crawler_german_localpoliticans_spark.operators.similarity import ivf_build
 
     key = (_session_key(spark), sf_dir)
     if key not in _IVF_CACHE:
@@ -486,8 +506,18 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = assigned.persist()
         assigned.count()
         _IVF_CACHE[key] = (assigned, centroids)
-    assigned, centroids = _IVF_CACHE[key]
+    return _IVF_CACHE[key]
+
+
+def _q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF access pattern: nprobe=2 of 8 cells — a
+    partition-pruned scan at scale. Approximate by design, so no SQL oracle
+    (rows-only check); exactness of the machinery is covered by the
+    full-probe ann_ivf invariant above plus the pytest recall test."""
+    assigned, centroids = _ivf_index(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
+    from crawler_german_localpoliticans_spark.operators.similarity import ivf_probe
+
     return ivf_probe(assigned, centroids, "vec_id", "embedding", q, k=5, nprobe=2).select(
         "id", _e6(F.col("score")).alias("score_e6")
     )
@@ -625,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_pruned": _q_ann_ivf_pruned,
         "doc_frequency": _q_doc_frequency,
         "politeness_schedule": _q_politeness_schedule,
         "corpus_curation": _q_corpus_curation,
@@ -1113,6 +1144,21 @@ def oracle_sql() -> dict[str, str]:
         # full LSH-ANN path: bucket assignment from the literal hyperplanes
         # + rounded-cosine top-k inside the query's bucket
         "ann_lsh": _ann_lsh_oracle_sql(),
+        # IVF full-probe invariant: probing ALL cells of a correct index ==
+        # brute-force top-k (the pruned nprobe=2 path is the separate
+        # rows-only ann_ivf_pruned query + pytest recall test)
+        "ann_ivf": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id AS id,
+                   CAST(round(round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), qv), 6) * 1000000) AS BIGINT)
+                       AS score_e6
+            FROM embeddings, q
+            ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+                     DESC, vec_id ASC
+            LIMIT 5
+        """,
         "ngram_jaccard": r"""
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

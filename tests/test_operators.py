@@ -70,6 +70,21 @@ def test_ivf_topk_recall(spark, emb):
         assert abs(brute[r["id"]] - r["score"]) < 1e-6
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """The ann_ivf driver oracle's invariant, pinned in pytest: probing with
+    nprobe = n_cells must return exactly the brute-force top-k (same ids,
+    same rounded scores, same tie-break) — every vector lives in exactly one
+    cell, so a full probe is a complete scan through the index machinery."""
+    rows = emb.limit(1).collect()
+    q = list(rows[0]["embedding"])
+    assigned, centroids = similarity.ivf_build(emb, "vec_id", "embedding", n_cells=4)
+    full = similarity.ivf_probe(
+        assigned, centroids, "vec_id", "embedding", q, k=7, nprobe=len(centroids)
+    ).collect()
+    brute = similarity.cosine_topk_bruteforce(emb, "vec_id", "embedding", q, k=7).collect()
+    assert [(r["id"], r["score"]) for r in full] == [(r["id"], r["score"]) for r in brute]
+
+
 def test_pairwise_topk_blocked(spark, emb):
     out = similarity.pairwise_topk_blocked(emb.limit(60), "vec_id", "embedding", "label", k=2)
     pdf = out.toPandas()

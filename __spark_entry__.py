@@ -1363,6 +1363,38 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE_PAT}')) AS n_bpe_tokens
             FROM documents
         """,
+        # The rolling-hash fingerprint is plain modular arithmetic, so DuckDB
+        # re-derives the RAW hash values with HUGEINT (int128) lambdas:
+        # doc_hash = Horner's rule over the codepoints, min_gram_hash = min
+        # over every 16-char window's polynomial hash (docs shorter than the
+        # window fall back to doc_hash — operators/textstats.py
+        # fingerprint_py / fingerprint_batch). O(n·window) per doc is fine at
+        # driver scale; Spark-side it's the vectorized numpy kernel.
+        "fingerprint": """
+            WITH codes AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(text) + 1),
+                                      i -> CAST(unicode(text[i]) AS HUGEINT)) AS cs,
+                       length(text) AS n
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, n, cs,
+                       CASE WHEN n = 0 THEN 0 ELSE
+                           list_reduce(cs, (acc, x) ->
+                               (acc * 257 + x) % 2305843009213693951)
+                       END AS doc_hash
+                FROM codes
+            )
+            SELECT doc_id,
+                   CAST(doc_hash AS BIGINT) AS doc_hash,
+                   CAST(CASE WHEN n < 16 THEN doc_hash ELSE
+                       list_min(list_transform(range(1, n - 14),
+                           i -> list_reduce(cs[i:i+15], (acc, x) ->
+                               (acc * 257 + x) % 2305843009213693951)))
+                   END AS BIGINT) AS min_gram_hash
+            FROM h
+        """,
         "keyword_gate": f"""
             SELECT doc_id, ({gate_cond}) AS keyword_hit FROM documents
         """,

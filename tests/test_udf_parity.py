@@ -76,3 +76,59 @@ def test_build_robots_state_executor_parse(spark, smoke_dir, smoke_fixture):
     for hk, txt in smoke_fixture.robots.items():
         p = parse_robots(txt, DEFAULT_CONFIG.user_agent)
         assert state[hk] == (tuple(p.allow), tuple(p.disallow), p.crawl_delay_ms), hk
+
+
+# --------------------------------------------------------------- fingerprint
+
+
+def test_fingerprint_batch_matches_python_oracle():
+    """The vectorized numpy kernel (fingerprint_batch) must agree with the
+    per-character fingerprint_py on every class of input: empty, shorter than
+    the window, exactly the window, long, repeated chars, non-ASCII and
+    astral code points, and lone surrogates."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        FP_WINDOW,
+        fingerprint_batch,
+        fingerprint_py,
+    )
+
+    texts = [
+        "",
+        "a",
+        "x" * (FP_WINDOW - 1),
+        "y" * FP_WINDOW,
+        "z" * (FP_WINDOW + 1),
+        "hello wörld " * 10,
+        "Gemeinderat München — Sitzungsprotokoll 2024 §17",
+        "\U0001F600 astral \U0010FFFF chars",
+        "a\ud800b",  # lone surrogate: ord() == 0xD800 on both paths
+        "the quick brown fox jumps over the lazy dog " * 50,
+        " ".join(str(i * 7919 % 1000) for i in range(500)),
+    ]
+    doc, mg = fingerprint_batch(texts)
+    for i, t in enumerate(texts):
+        d, m = fingerprint_py(t)
+        assert doc[i] == d, (i, t[:40])
+        assert mg[i] == m, (i, t[:40])
+
+
+def test_fingerprint_batch_matches_python_oracle_random():
+    """Randomized differential test: byte-for-byte agreement on 300 random
+    unicode-ish strings of random lengths around the window size."""
+    import random
+
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        fingerprint_batch,
+        fingerprint_py,
+    )
+
+    rng = random.Random(1234)
+    alphabet = "abcdefgh \t\nÄÖÜß€\U0001F600"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 64)))
+        for _ in range(300)
+    ]
+    doc, mg = fingerprint_batch(texts)
+    for i, t in enumerate(texts):
+        d, m = fingerprint_py(t)
+        assert (doc[i], mg[i]) == (d, m), (i, repr(t))

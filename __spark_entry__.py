@@ -196,6 +196,25 @@ def _q_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b")
 
 
+def _q_minhash_planted_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-bit xxhash64 MinHash family (the documented scale path beyond
+    crc32's ~1e9-distinct-shingle ceiling, operators/dedup.py
+    minhash_signatures_xx) under the same planted-duplicate invariant:
+    identical text => identical 64-bit signatures => every planted pair
+    recovered; a false positive at threshold 0.95 needs >=61/64 independent
+    64-bit min-hash agreements between salted near-disjoint shingle sets."""
+    from crawler_german_localpoliticans_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _planted_corpus(spark, sf_dir, salt=True),
+        "doc_id",
+        "text",
+        threshold=0.95,
+        hash_family="xxhash64",
+    )
+    return pairs.select("id_a", "id_b")
+
+
 def _q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded Hamming search at max_hamming=0 must recover exactly
     the planted identical-text pairs (the salted corpus keeps every
@@ -647,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_neardup": _q_minhash_neardup,
         "minhash_planted": _q_minhash_planted,
+        "minhash_planted_xx": _q_minhash_planted_xx,
         "simhash": _q_simhash,
         "simhash_planted": _q_simhash_planted,
         "fingerprint_planted": _q_fingerprint_planted,
@@ -1134,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
         # duplicate pair set IS text equality — any detector false
         # positive/negative breaks the hash match.
         "minhash_planted": _PLANTED_SALTED_PAIRS_SQL,
+        "minhash_planted_xx": _PLANTED_SALTED_PAIRS_SQL,
         "simhash_planted": _PLANTED_SALTED_PAIRS_SQL,
         "fingerprint_planted": _PLANTED_PAIRS_SQL,
         # byte-level reconstruction of the deterministic fake decoder — the

@@ -24,12 +24,14 @@ Portability contract: all hash primitives are crc32 (zlib == JVM CRC32 ==
 Spark `F.crc32`), so the pytest oracle recomputes identical signatures in
 pure Python — see tests/test_dedup.py.
 
-Scale note (honest limitation): crc32 is 32-bit, so at >= ~10^9 DISTINCT
-shingles corpus-wide, hash collisions start to bias MinHash estimates
-upward. At that scale swap the shingle hash for `F.xxhash64` (a one-line
-change in `minhash_signatures` plus widening MINHASH_PRIME to a 61-bit
-modulus) — the cost is the pure-Python parity oracle, which would then need
-a Python xxhash64. The banded LSH structure is unaffected either way.
+Scale note: crc32 is 32-bit, so at >= ~10^9 DISTINCT shingles corpus-wide,
+hash collisions start to bias MinHash estimates upward. For that regime
+`minhash_dedup_pairs(..., hash_family="xxhash64")` switches the signature
+family to seeded 64-bit XXH64 (`minhash_signatures_xx`) — collision-free in
+practice at any corpus size, same banded LSH structure. crc32 stays the
+default because its signatures are recomputable in pure Python/DuckDB
+(the parity oracle); the xxhash64 family is pinned by the planted-corpus
+invariant instead (driver query `minhash_planted_xx`).
 """
 
 from __future__ import annotations
@@ -112,6 +114,28 @@ def minhash_signatures(
     return sigs.select("id", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def minhash_signatures_xx(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM, k: int = 3
+) -> DataFrame:
+    """(id, sig array<long>) with a 64-BIT hash family for corpora beyond
+    crc32's ~1e9-distinct-shingle ceiling: hash function i is
+    xxhash64(shingle, i) — Spark hashes the shingle together with the
+    literal index, giving num_perm independent 64-bit functions directly
+    (no (a*x+b) mod p permutation arithmetic, hence no modulus-width
+    overflow concerns). All JVM-side: explode -> one groupBy with num_perm
+    min() aggregates, identical shuffle shape to minhash_signatures.
+    XXH64 isn't recomputable in DuckDB/stdlib Python, so this family is
+    verified by the planted-corpus invariant (identical text => identical
+    signatures => detected == planted), not signature parity."""
+    sh = word_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}")
+        for i in range(num_perm)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
@@ -155,14 +179,25 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     num_perm: int = NUM_PERM,
     k: int = 3,
+    hash_family: str = "crc32",
 ) -> DataFrame:
     """Near-duplicate pairs with estimated Jaccard >= threshold:
     signatures -> LSH buckets -> candidate pairs -> signature-agreement
-    verification (fraction of equal components estimates Jaccard)."""
+    verification (fraction of equal components estimates Jaccard).
+
+    hash_family: "crc32" (default; Python/DuckDB-recomputable parity) or
+    "xxhash64" (64-bit family for >= ~1e9 distinct shingles — see the
+    module scale note)."""
+    if hash_family == "crc32":
+        sig_fn = minhash_signatures
+    elif hash_family == "xxhash64":
+        sig_fn = minhash_signatures_xx
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     # the signature table feeds the band join AND both sides of the
     # verification join — persist so the (UDF-free but shuffle-heavy)
     # signature computation runs once, not three times
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, k).persist()
+    sigs = sig_fn(df, id_col, text_col, num_perm, k).persist()
     cands = lsh_candidate_pairs(sigs)
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))

@@ -63,6 +63,34 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_xxhash64_family_detects_neardups(spark):
+    """The 64-bit xxhash64 signature family (scale path beyond crc32's
+    distinct-shingle ceiling) must behave like the crc32 family on the same
+    corpus: near-dups detected, dissimilar pairs rejected, exact duplicates
+    at est_jaccard 1.0."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark shuffles and joins " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_dedup_pairs(
+            df, "doc_id", "text", threshold=0.5, hash_family="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in got and (1, 4) in got
+    assert got[(1, 4)] == 1.0  # identical text -> identical 64-bit signatures
+    assert (1, 3) not in got and (2, 3) not in got
+
+    # unknown family is a loud error, not a silent fallback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.minhash_dedup_pairs(df, "doc_id", "text", hash_family="md5")
+
+
 def test_simhash_matches_python_and_detects_neardups(spark):
     base = "word " + " ".join(f"token{i}" for i in range(60))
     near = base + " extra"  # small vote perturbation

@@ -72,11 +72,16 @@ def test_exact_dedup_has_partial_aggregation(spark):
 
 
 def test_minhash_signatures_no_python(spark):
-    from crawler_german_localpoliticans_spark.operators.dedup import minhash_signatures
+    from crawler_german_localpoliticans_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_xx,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
     plan = plan_of(minhash_signatures(docs, "doc_id", "text"))
     assert "Python" not in plan  # crc32 + 64 min-aggregates are all JVM
+    plan_xx = plan_of(minhash_signatures_xx(docs, "doc_id", "text"))
+    assert "Python" not in plan_xx  # the 64-bit family too
 
 
 def test_cosine_topk_is_heap_topk_with_arrow_scoring(spark):

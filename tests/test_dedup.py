@@ -48,6 +48,27 @@ def test_minhash_signature_matches_python_oracle(spark, docs):
         assert sigs[r["doc_id"]] == dedup.minhash_signature_py(r["text"]), r["doc_id"]
 
 
+def test_minhash_arrow_kernel_matches_jvm_signatures(spark, docs):
+    """The shuffle-free Arrow signature kernel must be BYTE-identical to the
+    JVM explode+min-aggregates form (same crc32, same permutation params) —
+    they are two physical strategies for one logical operator, so either can
+    feed the LSH bands. Also pins the no-shingles edge: a whitespace-only
+    text yields no signature row on either path."""
+    jvm = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(docs.limit(30), "doc_id", "text").collect()
+    }
+    arrow = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures_arrow(docs.limit(30), "doc_id", "text").collect()
+    }
+    assert arrow == jvm
+
+    empty = spark.createDataFrame([(1, "   "), (2, "a b c d")], "doc_id long, text string")
+    assert {r["id"] for r in dedup.minhash_signatures(empty, "doc_id", "text").collect()} == {2}
+    assert {r["id"] for r in dedup.minhash_signatures_arrow(empty, "doc_id", "text").collect()} == {2}
+
+
 def test_minhash_lsh_finds_planted_neardups(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base.replace("lazy", "sleepy", 1)  # tiny edit -> high jaccard

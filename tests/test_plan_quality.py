@@ -84,6 +84,18 @@ def test_minhash_signatures_no_python(spark):
     assert "Python" not in plan_xx  # the 64-bit family too
 
 
+def test_minhash_arrow_signatures_shuffle_free(spark):
+    """The default (Arrow) signature engine is a pure map pass: no Exchange
+    anywhere in the plan — at 10^10 docs the JVM form's explode+groupBy
+    shuffle is the cost this elides."""
+    from crawler_german_localpoliticans_spark.operators.dedup import minhash_signatures_arrow
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(minhash_signatures_arrow(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_cosine_topk_is_heap_topk_with_arrow_scoring(spark):
     from crawler_german_localpoliticans_spark.operators.similarity import cosine_topk_bruteforce
 

@@ -703,6 +703,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# shared derived-corpus CTE blocks — ONE definition of the webcorpus
+# arithmetic (sources/webcorpus.py), interpolated into every crawl oracle.
+# Round-2 advice: the node/edge CTEs were copy-pasted across five oracle
+# queries; a missed edit in one copy would silently desynchronize them.
+# ---------------------------------------------------------------------------
+
+_CORPUS_PARAMS_CTE = """params AS (
+                SELECT count(*) AS n,
+                       greatest(4, count(*) // 50) AS nh,
+                       greatest(4, count(*) // 100) AS ns
+                FROM documents
+            )"""
+
+# one row per document: url, host index h, robots-blocked flag, keyword
+# gate, extracted text and custom_id (consumers project what they need —
+# DuckDB prunes unused CTE columns)
+_CORPUS_NODE_CTE = r"""node AS (
+                SELECT d.doc_id AS doc,
+                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
+                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
+                       d.doc_id % p.nh AS h,
+                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de' AS host_key,
+                       ((d.doc_id % p.nh) % 5 = 1
+                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
+                       d.doc_id % 4 = 0 AS keyword_hit,
+                       'Seite ' || CAST(d.doc_id AS VARCHAR) || ' Dokument '
+                         || regexp_replace(trim(d.text), '\s+', ' ', 'g')
+                         || ' l0l1l2l3l4l5l6l7hot' AS text,
+                       'request_host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
+                         || '.beispiel.de_seite_' || CAST(d.doc_id AS VARCHAR)
+                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END
+                         || '.html' AS custom_id
+                FROM documents d, params p
+            )"""
+
+_CORPUS_EDGE_CTE = """edge AS (
+                SELECT DISTINCT s.doc AS src, g.tgt
+                FROM node s, params p,
+                     unnest([
+                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
+                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
+                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
+                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
+                        0
+                     ]) AS g(tgt)
+            )"""
+
+_CORPUS_DEGREE_CTE = (
+    """degree AS (SELECT src AS doc, count(*) AS links FROM edge GROUP BY src)"""
+)
+
+_CORPUS_L0_CTE = """l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns)"""
+
+# order-INSENSITIVE reachable layers (depth 1 kept set incl. the
+# seed-requeue quirk, depth 2 frontier); crawl_bfs derives its own ordered
+# l1s/l2s layers because it also hash-checks the seq column
+_CORPUS_REACH_CTES = """l1 AS (
+                SELECT e.tgt AS doc, min(e.src) AS first_parent
+                FROM edge e
+                JOIN l0 ON e.src = l0.doc
+                JOIN node pn ON pn.doc = e.src
+                WHERE NOT pn.blocked
+                GROUP BY e.tgt
+            ),
+            l1k AS (
+                SELECT l1.doc FROM l1, params p
+                WHERE l1.doc >= p.ns OR l1.first_parent < l1.doc
+            ),
+            l2 AS (
+                SELECT DISTINCT e.tgt AS doc
+                FROM edge e
+                JOIN l1k ON e.src = l1k.doc
+                JOIN node pn ON pn.doc = e.src
+                WHERE NOT pn.blocked
+                  AND e.tgt NOT IN (SELECT doc FROM l0)
+                  AND e.tgt NOT IN (SELECT doc FROM l1k)
+            )"""
+
+
 # expected duplicate pairs on the planted corpus = text-equality pairs
 _PLANTED_PAIRS_SQL = """
     WITH corpus AS (
@@ -828,41 +910,17 @@ def oracle_sql() -> dict[str, str]:
         # (src/main.rs:30-45, :908-909). The first-discovery key is encoded
         # min(parent_seq*1024 + pos) (pos <= 8 < 1024). Validated against
         # plans/oracle.py's sequential crawl on sf0.001/0.01/0.1.
-        "crawl_bfs": """
-            WITH params AS (
-                SELECT count(*) AS n,
-                       greatest(4, count(*) // 50) AS nh,
-                       greatest(4, count(*) // 100) AS ns
-                FROM documents
-            ),
-            node AS (
-                SELECT d.doc_id AS doc,
-                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
-                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
-                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
-                       ((d.doc_id % p.nh) % 5 = 1
-                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
-                       d.doc_id % 4 = 0 AS keyword_hit
-                FROM documents d, params p
-            ),
-            edge AS (
-                SELECT DISTINCT s.doc AS src, g.tgt
-                FROM node s, params p,
-                     unnest([
-                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
-                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
-                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
-                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
-                        0
-                     ]) AS g(tgt)
-            ),
-            degree AS (SELECT src AS doc, count(*) AS links FROM edge GROUP BY src),
+        "crawl_bfs": f"""
+            WITH {_CORPUS_PARAMS_CTE},
+            {_CORPUS_NODE_CTE},
+            {_CORPUS_EDGE_CTE},
+            {_CORPUS_DEGREE_CTE},
             pl AS (
                 SELECT e.src, e.tgt,
                        row_number() OVER (PARTITION BY e.src ORDER BY n.url) - 1 AS pos
                 FROM edge e JOIN node n ON n.doc = e.tgt
             ),
-            l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns),
+            {_CORPUS_L0_CTE},
             l1r AS (
                 SELECT pl.tgt AS doc, min(pl.src * 1024 + pl.pos) AS k
                 FROM pl
@@ -913,63 +971,12 @@ def oracle_sql() -> dict[str, str]:
         # whitespace-collapsed document text, and the anchor labels (inline
         # <a> runs glue without separators). Re-popped keyword seeds are
         # extracted once per pop, hence the fetched-level FROM.
-        "crawl_extracted": r"""
-            WITH params AS (
-                SELECT count(*) AS n,
-                       greatest(4, count(*) // 50) AS nh,
-                       greatest(4, count(*) // 100) AS ns
-                FROM documents
-            ),
-            node AS (
-                SELECT d.doc_id AS doc,
-                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
-                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
-                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
-                       ((d.doc_id % p.nh) % 5 = 1
-                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
-                       d.doc_id % 4 = 0 AS keyword_hit,
-                       'Seite ' || CAST(d.doc_id AS VARCHAR) || ' Dokument '
-                         || regexp_replace(trim(d.text), '\s+', ' ', 'g')
-                         || ' l0l1l2l3l4l5l6l7hot' AS text,
-                       'request_host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
-                         || '.beispiel.de_seite_' || CAST(d.doc_id AS VARCHAR)
-                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END
-                         || '.html' AS custom_id
-                FROM documents d, params p
-            ),
-            edge AS (
-                SELECT DISTINCT s.doc AS src, g.tgt
-                FROM node s, params p,
-                     unnest([
-                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
-                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
-                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
-                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
-                        0
-                     ]) AS g(tgt)
-            ),
-            l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns),
-            l1 AS (
-                SELECT e.tgt AS doc, min(e.src) AS first_parent
-                FROM edge e
-                JOIN l0 ON e.src = l0.doc
-                JOIN node pn ON pn.doc = e.src
-                WHERE NOT pn.blocked
-                GROUP BY e.tgt
-            ),
-            l1k AS (
-                SELECT l1.doc FROM l1, params p
-                WHERE l1.doc >= p.ns OR l1.first_parent < l1.doc
-            ),
-            l2 AS (
-                SELECT DISTINCT e.tgt AS doc
-                FROM edge e
-                JOIN l1k ON e.src = l1k.doc
-                JOIN node pn ON pn.doc = e.src
-                WHERE NOT pn.blocked
-                  AND e.tgt NOT IN (SELECT doc FROM l0)
-                  AND e.tgt NOT IN (SELECT doc FROM l1k)
-            ),
+        "crawl_extracted": f"""
+            WITH {_CORPUS_PARAMS_CTE},
+            {_CORPUS_NODE_CTE},
+            {_CORPUS_EDGE_CTE},
+            {_CORPUS_L0_CTE},
+            {_CORPUS_REACH_CTES},
             fetched AS (
                 SELECT doc FROM l0
                 UNION ALL SELECT doc FROM l1k
@@ -1002,74 +1009,23 @@ def oracle_sql() -> dict[str, str]:
         # disallow the /seite/1 prefix for all agents; hosts h%7==3 (and not
         # h%5==1 — the webcorpus WHEN chain) set Crawl-delay: 4.5 => 4500 ms;
         # all other hosts have the empty allow-all policy with NULL delay.
-        "robots_eval": """
-            WITH params AS (
-                SELECT greatest(4, count(*) // 50) AS nh FROM documents
-            )
-            SELECT 'https://host' || lpad(CAST(doc_id % p.nh AS VARCHAR), 4, '0')
-                     || '.beispiel.de/seite/' || CAST(doc_id AS VARCHAR)
-                     || CASE WHEN doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
-                   'https://host' || lpad(CAST(doc_id % p.nh AS VARCHAR), 4, '0')
-                     || '.beispiel.de' AS host_key,
-                   ((doc_id % p.nh) % 5 = 1
-                    AND CAST(doc_id AS VARCHAR) LIKE '1%') AS blocked,
-                   CAST(CASE WHEN (doc_id % p.nh) % 5 <> 1
-                              AND (doc_id % p.nh) % 7 = 3
+        "robots_eval": f"""
+            WITH {_CORPUS_PARAMS_CTE},
+            {_CORPUS_NODE_CTE}
+            SELECT url, host_key, blocked,
+                   CAST(CASE WHEN h % 5 <> 1 AND h % 7 = 3
                              THEN 4500 END AS BIGINT) AS crawl_delay_ms
-            FROM documents d, params p
+            FROM node
         """,
         # BASELINE invariant "URL-seen exact set match": url_seen == distinct
         # frontier urls over rounds 0..2 (seed re-enqueues collapse; blocked
         # and failed URLs stay seen).
-        "url_seen": """
-            WITH params AS (
-                SELECT count(*) AS n,
-                       greatest(4, count(*) // 50) AS nh,
-                       greatest(4, count(*) // 100) AS ns
-                FROM documents
-            ),
-            node AS (
-                SELECT d.doc_id AS doc,
-                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
-                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
-                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
-                       ((d.doc_id % p.nh) % 5 = 1
-                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked
-                FROM documents d, params p
-            ),
-            edge AS (
-                SELECT DISTINCT s.doc AS src, g.tgt
-                FROM node s, params p,
-                     unnest([
-                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
-                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
-                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
-                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
-                        0
-                     ]) AS g(tgt)
-            ),
-            l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns),
-            l1 AS (
-                SELECT e.tgt AS doc, min(e.src) AS first_parent
-                FROM edge e
-                JOIN l0 ON e.src = l0.doc
-                JOIN node pn ON pn.doc = e.src
-                WHERE NOT pn.blocked
-                GROUP BY e.tgt
-            ),
-            l1k AS (
-                SELECT l1.doc FROM l1, params p
-                WHERE l1.doc >= p.ns OR l1.first_parent < l1.doc
-            ),
-            l2 AS (
-                SELECT DISTINCT e.tgt AS doc
-                FROM edge e
-                JOIN l1k ON e.src = l1k.doc
-                JOIN node pn ON pn.doc = e.src
-                WHERE NOT pn.blocked
-                  AND e.tgt NOT IN (SELECT doc FROM l0)
-                  AND e.tgt NOT IN (SELECT doc FROM l1k)
-            )
+        "url_seen": f"""
+            WITH {_CORPUS_PARAMS_CTE},
+            {_CORPUS_NODE_CTE},
+            {_CORPUS_EDGE_CTE},
+            {_CORPUS_L0_CTE},
+            {_CORPUS_REACH_CTES}
             SELECT DISTINCT n.url
             FROM (
                 SELECT doc FROM l0
@@ -1080,57 +1036,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Membership/flags view of the same crawl (kept alongside crawl_bfs:
         # this one checks reachability independently of the order logic).
-        "crawl_reachability": """
-            WITH params AS (
-                SELECT count(*) AS n,
-                       greatest(4, count(*) // 50) AS nh,
-                       greatest(4, count(*) // 100) AS ns
-                FROM documents
-            ),
-            node AS (
-                SELECT d.doc_id AS doc,
-                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
-                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
-                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
-                       ((d.doc_id % p.nh) % 5 = 1
-                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
-                       d.doc_id % 4 = 0 AS keyword_hit
-                FROM documents d, params p
-            ),
-            edge AS (
-                SELECT DISTINCT s.doc AS src, g.tgt
-                FROM node s, params p,
-                     unnest([
-                        (s.doc*7 + 0*13 + 1) % p.n, (s.doc*7 + 1*13 + 1) % p.n,
-                        (s.doc*7 + 2*13 + 1) % p.n, (s.doc*7 + 3*13 + 1) % p.n,
-                        (s.doc*7 + 4*13 + 1) % p.n, (s.doc*7 + 5*13 + 1) % p.n,
-                        (s.doc*7 + 6*13 + 1) % p.n, (s.doc*7 + 7*13 + 1) % p.n,
-                        0
-                     ]) AS g(tgt)
-            ),
-            degree AS (SELECT src AS doc, count(*) AS links FROM edge GROUP BY src),
-            l0 AS (SELECT doc FROM node, params p WHERE doc < p.ns),
-            l1 AS (
-                SELECT e.tgt AS doc, min(e.src) AS first_parent
-                FROM edge e
-                JOIN l0 ON e.src = l0.doc
-                JOIN node pn ON pn.doc = e.src
-                WHERE NOT pn.blocked
-                GROUP BY e.tgt
-            ),
-            l1k AS (
-                SELECT l1.doc FROM l1, params p
-                WHERE l1.doc >= p.ns OR l1.first_parent < l1.doc
-            ),
-            l2 AS (
-                SELECT DISTINCT e.tgt AS doc
-                FROM edge e
-                JOIN l1k ON e.src = l1k.doc
-                JOIN node pn ON pn.doc = e.src
-                WHERE NOT pn.blocked
-                  AND e.tgt NOT IN (SELECT doc FROM l0)
-                  AND e.tgt NOT IN (SELECT doc FROM l1k)
-            ),
+        "crawl_reachability": f"""
+            WITH {_CORPUS_PARAMS_CTE},
+            {_CORPUS_NODE_CTE},
+            {_CORPUS_EDGE_CTE},
+            {_CORPUS_DEGREE_CTE},
+            {_CORPUS_L0_CTE},
+            {_CORPUS_REACH_CTES},
             fetched AS (
                 SELECT doc, 0 AS depth FROM l0
                 UNION ALL SELECT doc, 1 FROM l1k
@@ -1294,26 +1206,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token, n.n_docs
             HAVING count(*) >= 2
         """,
-        "politeness_schedule": """
-            WITH params AS (
-                SELECT count(*) AS n, greatest(4, count(*) // 50) AS nh
-                FROM documents
-            ),
-            node AS (
-                SELECT d.doc_id AS doc,
-                       'https://host' || lpad(CAST(d.doc_id % p.nh AS VARCHAR), 4, '0')
-                         || '.beispiel.de/seite/' || CAST(d.doc_id AS VARCHAR)
-                         || CASE WHEN d.doc_id % 4 = 0 THEN '-rathaus' ELSE '' END AS url,
-                       d.doc_id % p.nh AS h,
-                       ((d.doc_id % p.nh) % 5 = 1
-                        AND CAST(d.doc_id AS VARCHAR) LIKE '1%') AS blocked,
-                       d.doc_id % 4 = 0 AS keyword_hit,
+        "politeness_schedule": f"""
+            WITH {_CORPUS_PARAMS_CTE},
+            {_CORPUS_NODE_CTE},
+            eff AS (
+                SELECT n.*,
                        greatest(
-                           coalesce(CASE WHEN (d.doc_id % p.nh) % 5 <> 1
-                                          AND (d.doc_id % p.nh) % 7 = 3
+                           coalesce(CASE WHEN n.h % 5 <> 1 AND n.h % 7 = 3
                                          THEN 4500 END, 0),
                            2000) AS eff
-                FROM documents d, params p
+                FROM node n
             ),
             slots AS (
                 SELECT *,
@@ -1322,7 +1224,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY blocked ASC, keyword_hit DESC, doc ASC
                        ) - 1 AS slot,
                        greatest(1, floor(6000.0 / eff)) AS cap
-                FROM node
+                FROM eff
             )
             SELECT url, blocked AS robots_blocked,
                    CAST(eff AS BIGINT) AS effective_delay_ms,

@@ -797,6 +797,144 @@ _PLANTED_PAIRS_SQL = """
     JOIN corpus b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
 """
 
+def _crc32_table_sql() -> str:
+    """The standard CRC-32 (IEEE 802.3, poly 0xEDB88320) lookup table as a
+    DuckDB UBIGINT[] literal — DuckDB 1.0 has no crc32 builtin, but the
+    algorithm is pure bit arithmetic: crc' = (crc >> 8) XOR
+    table[(crc XOR byte) & 0xFF], init/finalize 0xFFFFFFFF. Identical to
+    zlib.crc32 == JVM CRC32 == Spark F.crc32 (the engine's portability
+    contract, operators/dedup.py)."""
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        table.append(c)
+    return "[" + ",".join(map(str, table)) + "]"
+
+
+# crc32 over a string's bytes; {col} is substituted. Byte access is
+# unicode(char), valid because the driver testdata text is pure ASCII
+# (TESTDATA.md) — a non-ASCII corpus would need BLOB byte extraction.
+_CRC32_EXPR = """xor(list_reduce(list_prepend(4294967295::UBIGINT,
+        list_transform(range(1, length({col}) + 1), i -> unicode({col}[i])::UBIGINT){extra}),
+        (crc, b) -> xor(crc >> 8, tab[(1 + (xor(crc, b) & 255))::BIGINT])),
+        4294967295::UBIGINT)"""
+
+
+def _minhash_neardup_oracle_sql() -> str:
+    """The FULL MinHash near-dup path re-derived in SQL — crc32 shingle
+    hashes (inline table), the 64 (a*x+b) mod p permutation minima with the
+    literal seed-42 params, LSH candidacy as ">= 1 band with all 4 signature
+    components equal" (equivalent to Spark's xxhash64 band-bucket equi-join:
+    band_hash equality <=> band slice equality, operators/dedup.py
+    lsh_candidate_pairs), and est_jaccard = agreeing components / 64.
+    agree/64 has an exact 6-decimal representation, so est_e6 = agree*15625
+    on both engines. Threshold 0.2 <=> agree >= 13 (12/64 = 0.1875 < 0.2)."""
+    from crawler_german_localpoliticans_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _permutation_params,
+    )
+
+    params = _permutation_params(64)
+    sig_aggs = ",\n                   ".join(
+        f"min(({a}::UBIGINT * hv + {b}::UBIGINT) % {MINHASH_PRIME}::UBIGINT) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    sig_arr = "[" + ", ".join(f"s{i}" for i in range(64)) + "]"
+    crc = _CRC32_EXPR.format(col="shingle", extra="")
+    agree = (
+        "list_sum(list_transform(range(1, 65), "
+        "j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END))"
+    )
+    return rf"""
+        WITH t AS (SELECT {_crc32_table_sql()}::UBIGINT[] AS tab),
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(len(tk) - 2, 1)),
+                    i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+                FROM toks
+            ) WHERE length(shingle) > 0
+        ),
+        h AS (SELECT doc_id, {crc} AS hv FROM sh, t),
+        sigc AS (
+            SELECT doc_id,
+                   {sig_aggs}
+            FROM h GROUP BY doc_id
+        ),
+        sig AS (SELECT doc_id, {sig_arr} AS sig FROM sigc),
+        bands AS (
+            SELECT doc_id, band,
+                   sig[4*band+1] AS c0, sig[4*band+2] AS c1,
+                   sig[4*band+3] AS c2, sig[4*band+4] AS c3
+            FROM sig, unnest(generate_series(0, 15)) AS u(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+            FROM bands a JOIN bands b2
+              ON a.band = b2.band AND a.c0 = b2.c0 AND a.c1 = b2.c1
+             AND a.c2 = b2.c2 AND a.c3 = b2.c3 AND a.doc_id < b2.doc_id
+        )
+        SELECT id_a, id_b, ({agree} * 15625)::BIGINT AS est_jaccard_e6
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        WHERE {agree} >= 13
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """Raw 64-bit simhash values re-derived in SQL: per-token hash =
+    crc32(tok) | crc32(tok + chr(1)) << 32 (the portable primitive of
+    operators/dedup.py simhash64_py / with_simhash), 64 per-bit ±1 vote
+    sums as aggregates, sign bits reassembled in HUGEINT and converted to
+    Spark's signed-64 two's complement. Tokenless docs hash to 0."""
+    crc_a = _CRC32_EXPR.format(col="tk", extra="")
+    crc_b = _CRC32_EXPR.format(col="tk", extra="\n        || [1::UBIGINT]")
+    vote_aggs = ",\n                   ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    bits_sum = "\n                 + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return rf"""
+        WITH t AS (SELECT {_crc32_table_sql()}::UBIGINT[] AS tab),
+        tok AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+            FROM documents
+        ),
+        tok_ne AS (SELECT doc_id, tk FROM tok WHERE length(tk) > 0),
+        h AS (
+            SELECT doc_id,
+                   {crc_a} | ({crc_b} * 4294967296::UBIGINT) AS hv
+            FROM tok_ne, t
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {vote_aggs}
+            FROM h GROUP BY doc_id
+        ),
+        raw AS (
+            SELECT doc_id,
+                   ({bits_sum}) AS u
+            FROM votes
+        )
+        SELECT d.doc_id,
+               coalesce(CAST(CASE WHEN r.u >= 9223372036854775808::HUGEINT
+                                  THEN r.u - 18446744073709551616::HUGEINT
+                                  ELSE r.u END AS BIGINT), 0) AS simhash
+        FROM documents d LEFT JOIN raw r ON r.doc_id = d.doc_id
+    """
+
+
 def _ann_lsh_oracle_sql() -> str:
     """The sign-LSH bucket assignment is SQL-expressible because the
     hyperplanes are DETERMINISTIC literals (seed 42): bucket bit i =
@@ -1068,6 +1206,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_planted": _PLANTED_SALTED_PAIRS_SQL,
         "minhash_planted_xx": _PLANTED_SALTED_PAIRS_SQL,
         "simhash_planted": _PLANTED_SALTED_PAIRS_SQL,
+        # raw-value oracles for the crc32 detectors: DuckDB has no crc32
+        # builtin, but CRC-32 is pure bit arithmetic — an inline lookup
+        # table + list_reduce recomputes zlib/JVM-identical hashes, so the
+        # previously rows-only queries are now fully hash-checked
+        "minhash_neardup": _minhash_neardup_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
         "fingerprint_planted": _PLANTED_PAIRS_SQL,
         # byte-level reconstruction of the deterministic fake decoder — the
         # multimodal PLUMBING (schema, byte handling, normalization, Arrow

@@ -193,6 +193,22 @@ def _shift32_mod(x: np.ndarray) -> np.ndarray:
     return _fold61((x >> np.uint64(29)) + ((x & _MASK29) << np.uint64(32)))
 
 
+def _mulmod61_small(a, b) -> np.ndarray:
+    """(a * b) mod P where b < 2^32 (code points, small constants): one
+    32-bit split of `a` suffices — roughly half the ops of _mulmod61."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    hi = _shift32_mod((a >> np.uint64(32)) * b)  # < 2^61 pre-shift
+    lo = _fold61((a & _MASK32) * b)  # < 2^64
+    return _fold61(hi + lo)
+
+
+# chunk the per-character passes so every temporary stays allocator-resident
+# (a fresh Python worker's first batch otherwise page-faults ~20 full-batch
+# temporaries per vector op — measured 4x slower than warm)
+_FP_CHUNK = 1 << 18
+
+
 _POW_CACHE: dict[int, np.ndarray] = {}
 
 
@@ -234,17 +250,22 @@ def fingerprint_batch(
     parity oracle, tests/test_udf_parity.py).
 
     Prefix-hash formulation over ONE concatenated codepoint array: with
-    W[i] = c[i] * B^(-i) and S its prefix sum (kept exact as two uint64
-    cumsums of the 32-bit halves), any substring hash is
-    `B^(hi) * (S[lo..hi+1])`:
+    W[i] = c[i] * B^(-rel(i)) — rel(i) = i's offset WITHIN its document —
+    and S the global prefix sum of W (kept exact as two uint64 cumsums of
+    the 32-bit halves), any within-document substring hash is a power times
+    a prefix difference:
 
-        doc_hash[d]   = B^(end_d - 1)   * (S[end_d] - S[start_d])
-        window_hash[i] = B^(i + w - 1)  * (S[i + w] - S[i])
+        doc_hash[d]    = B^(len_d - 1)        * (S[end_d] - S[start_d])
+        window_hash[i] = B^(rel(i) + w - 1)   * (S[i + w] - S[i])
 
     so the whole batch costs ONE vectorized mulmod per character (building
     W) plus one per window — O(batch chars) numpy, no per-char Python and
-    no per-window re-scan. Windows crossing document boundaries are masked
-    to a +inf sentinel before the per-document minimum.reduceat."""
+    no per-window re-scan. Document-RELATIVE exponents keep the cached
+    power tables sized by the longest document, not the batch's total
+    characters (a fresh worker's first batch builds tables in microseconds).
+    Windows crossing document boundaries compute garbage from mixed
+    exponents and are masked to a +inf sentinel before the per-document
+    minimum.reduceat."""
     texts = [t if isinstance(t, str) else "" for t in texts]
     n_docs = len(texts)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
@@ -261,10 +282,16 @@ def fingerprint_batch(
     codes = np.frombuffer(
         "".join(texts).encode("utf-32-le", "surrogatepass"), dtype=np.uint32
     ).astype(np.uint64)
-    pows = _pow_table(total)  # B^i for global positions
-    inv_pows = _pow_table(total, _FP_BASE_INV)  # B^-i
+    max_len = int(lens.max())
+    pows = _pow_table(max_len + window)  # B^rel exponents stay < len + w
+    inv_pows = _pow_table(max_len, _FP_BASE_INV)  # B^-rel
 
-    w_arr = _mulmod61(codes, inv_pows)
+    starts_rep = np.repeat(offsets[:-1], lens)
+    rel = np.arange(total, dtype=np.int64) - starts_rep  # offset within doc
+    w_arr = np.empty(total, dtype=np.uint64)
+    for s in range(0, total, _FP_CHUNK):
+        e = min(s + _FP_CHUNK, total)
+        w_arr[s:e] = _mulmod61_small(inv_pows[rel[s:e]], codes[s:e])
     cs_hi = np.zeros(total + 1, dtype=np.uint64)
     cs_lo = np.zeros(total + 1, dtype=np.uint64)
     np.cumsum(w_arr >> np.uint64(32), out=cs_hi[1:])
@@ -274,23 +301,25 @@ def fingerprint_batch(
     starts_ne = offsets[:-1][nonempty]
     ends_ne = offsets[1:][nonempty]
     doc_hash[nonempty] = _mulmod61(
-        pows[ends_ne - 1], _seg_value(cs_hi, cs_lo, starts_ne, ends_ne)
+        pows[lens[nonempty] - 1], _seg_value(cs_hi, cs_lo, starts_ne, ends_ne)
     )
 
     # min over all in-document window hashes (docs shorter than the window
     # fall back to doc_hash, as in fingerprint_py)
     n_win = total - window + 1
     if n_win > 0:
-        # contiguous slices, not index gathers: window i spans S[i..i+w]
-        d_hi = cs_hi[window : window + n_win] - cs_hi[:n_win]
-        d_lo = cs_lo[window : window + n_win] - cs_lo[:n_win]
-        val = _fold61(_shift32_mod(d_hi) + _fold61(d_lo))
-        acc = _mulmod61(pows[window - 1 : window - 1 + n_win], val)
-        # window at global position i is valid iff it fits inside i's doc
-        ends_rep = np.repeat(offsets[1:], lens)
-        remaining = ends_rep[:n_win] - np.arange(n_win, dtype=np.int64)
+        # window at global position i spans S[i..i+w] (contiguous prefix-sum
+        # slices) and is valid iff it fits inside i's document
+        lens_rep = np.repeat(lens, lens)
         wh = np.full(total, _P64, dtype=np.uint64)  # P > every reduced hash
-        wh[:n_win] = np.where(remaining >= window, acc, _P64)
+        for s in range(0, n_win, _FP_CHUNK):
+            e = min(s + _FP_CHUNK, n_win)
+            d_hi = cs_hi[s + window : e + window] - cs_hi[s:e]
+            d_lo = cs_lo[s + window : e + window] - cs_lo[s:e]
+            val = _fold61(_shift32_mod(d_hi) + _fold61(d_lo))
+            acc = _mulmod61(pows[rel[s:e] + (window - 1)], val)
+            valid = (lens_rep[s:e] - rel[s:e]) >= window
+            wh[s:e] = np.where(valid, acc, _P64)
         min_hash[nonempty] = np.minimum.reduceat(wh, starts_ne)
     else:
         min_hash[nonempty] = _P64

@@ -542,6 +542,65 @@ def _q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended (the raw corpus
+    is plain words, so PII operators would be vacuously all-zero): emails on
+    doc_id%3==0, phones on %4==1, IPv4 on %5==2, IBAN on %7==3 — some docs
+    get several kinds, some none. The SAME augmentation is a string concat
+    in the DuckDB oracle."""
+    d = F.col("doc_id")
+    txt = F.col("text")
+    txt = F.when(
+        d % 3 == 0,
+        F.concat(txt, F.lit(" Kontakt: user"), d.cast("string"), F.lit("@beispiel.de")),
+    ).otherwise(txt)
+    txt = F.when(
+        d % 4 == 1,
+        F.concat(txt, F.lit(" Tel. +49-3012-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+    ).otherwise(txt)
+    txt = F.when(
+        d % 5 == 2,
+        F.concat(txt, F.lit(" Host 10.0."), (d % 256).cast("string"), F.lit(".7")),
+    ).otherwise(txt)
+    txt = F.when(
+        d % 7 == 3, F.concat(txt, F.lit(" IBAN DE89 3704 0044 0532 0130"))
+    ).otherwise(txt)
+    return _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/curation.py): per-class counts
+    and the typed-token redacted text, all regexp Columns — byte-compared
+    against the DuckDB oracle applying the same regexes with the 'g' flag."""
+    from crawler_german_localpoliticans_spark.operators.curation import (
+        redact_pii,
+        with_pii_counts,
+    )
+
+    docs = _pii_augmented_docs(spark, sf_dir)
+    out = redact_pii(with_pii_counts(docs, "text"), "text")
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_iban", "n_pii", "has_pii", "redacted"
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py): documents sharing
+    any 13-token gram with the 'benchmark' (every 97th document's text) are
+    contaminated. Spark joins on xxhash64(gram) (broadcast semi-join shape);
+    the oracle joins on the gram STRING — identical results barring a 64-bit
+    hash collision (~1e-11 at this gram count), the same argument as the
+    minhash band oracle."""
+    from crawler_german_localpoliticans_spark.operators.curation import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    out = contamination_check(docs, bench, "doc_id", "text", n=13)
+    return out.select(
+        F.col("id").alias("doc_id"), "contaminated_grams", "contaminated"
+    )
+
+
 def _q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_german_localpoliticans_spark.operators.textstats import doc_frequency
 
@@ -677,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_pruned": _q_ann_ivf_pruned,
         "doc_frequency": _q_doc_frequency,
+        "pii_scrub": _q_pii_scrub,
+        "contamination": _q_contamination,
         "politeness_schedule": _q_politeness_schedule,
         "corpus_curation": _q_corpus_curation,
         "rollup_pricing": _q_rollup_pricing,
@@ -933,6 +994,87 @@ def _simhash_oracle_sql() -> str:
                                   ELSE r.u END AS BIGINT), 0) AS simhash
         FROM documents d LEFT JOIN raw r ON r.doc_id = d.doc_id
     """
+
+
+def _pii_oracle_sql() -> str:
+    """PII counts + typed-token redaction re-derived in DuckDB with the
+    SAME regex strings (operators/curation.py PII_PATTERNS) — counts via
+    regexp_extract_all, redaction via chained regexp_replace(..., 'g')
+    applied in the same fixed order. The synthetic PII augmentation is the
+    same string concat as _pii_augmented_docs."""
+    from crawler_german_localpoliticans_spark.operators.curation import (
+        PII_PATTERNS,
+        REDACTION_TOKEN,
+    )
+
+    aug = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' Kontakt: user' "
+        "|| CAST(doc_id AS VARCHAR) || '@beispiel.de' ELSE text END"
+    )
+    aug = (
+        f"CASE WHEN doc_id % 4 = 1 THEN ({aug}) || ' Tel. +49-3012-' "
+        f"|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE ({aug}) END"
+    )
+    aug = (
+        f"CASE WHEN doc_id % 5 = 2 THEN ({aug}) || ' Host 10.0.' "
+        f"|| CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE ({aug}) END"
+    )
+    aug = (
+        f"CASE WHEN doc_id % 7 = 3 THEN ({aug}) || ' IBAN DE89 3704 0044 0532 0130' "
+        f"ELSE ({aug}) END"
+    )
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{kind}" for kind in PII_PATTERNS)
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        tok = REDACTION_TOKEN.format(kind=kind)
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+        WITH aug AS (
+            SELECT doc_id, {aug} AS text FROM documents
+        ),
+        c AS (
+            SELECT doc_id, text,
+                   {counts}
+            FROM aug
+        )
+        SELECT doc_id, n_email, n_phone, n_ipv4, n_iban,
+               (n_email + n_phone + n_ipv4 + n_iban) AS n_pii,
+               ({total}) > 0 AS has_pii,
+               {red} AS redacted
+        FROM c
+    """
+
+
+_CONTAMINATION_ORACLE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, gram
+        FROM (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(tk) - 12, 1)),
+                i -> array_to_string(tk[i:i+12], ' '))) AS gram
+            FROM toks
+        ) WHERE length(gram) > 0
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT g.doc_id, count(*) AS contaminated_grams
+        FROM grams g JOIN bench b ON g.gram = b.gram
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.contaminated_grams, 0) AS BIGINT)
+               AS contaminated_grams,
+           coalesce(h.contaminated_grams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
 
 
 def _ann_lsh_oracle_sql() -> str:
@@ -1206,6 +1348,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_planted": _PLANTED_SALTED_PAIRS_SQL,
         "minhash_planted_xx": _PLANTED_SALTED_PAIRS_SQL,
         "simhash_planted": _PLANTED_SALTED_PAIRS_SQL,
+        # PII + decontamination curation operators (the gram join runs on
+        # xxhash64 in Spark and the gram string in SQL — equivalent modulo a
+        # ~1e-11 64-bit collision)
+        "pii_scrub": _pii_oracle_sql(),
+        "contamination": _CONTAMINATION_ORACLE_SQL,
         # raw-value oracles for the crc32 detectors: DuckDB has no crc32
         # builtin, but CRC-32 is pure bit arithmetic — an inline lookup
         # table + list_reduce recomputes zlib/JVM-identical hashes, so the

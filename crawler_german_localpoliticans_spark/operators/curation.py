@@ -1,0 +1,152 @@
+"""Corpus-curation operators a 100-TB training-data pipeline needs beyond
+scoring/dedup: PII detection + redaction and benchmark decontamination.
+
+Both are Spark-first:
+
+- PII is pure Column regexp work (whole-stage codegen, zero Python) with
+  regexes shared verbatim with the DuckDB oracle (__spark_entry__.py);
+- decontamination is a hashed n-gram semi-join — the industry-standard
+  "drop any document sharing an n-gram with the eval set" rule (as used for
+  C4/GPT-3-style decontamination) expressed as explode -> xxhash64 ->
+  broadcast-able LEFT SEMI/ANTI join, never a substring scan per pair.
+  At 10^10 docs the benchmark n-gram table is tiny (a few million grams) and
+  broadcasts; the document side stays a single map pass + one semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# shared Spark/DuckDB regexes (keep in sync with the oracle in
+# __spark_entry__.py — both engines get THESE strings)
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# international-ish phone: optional +country, then 3 groups of digits with
+# separators; at least 8 digits total is enforced by the shape
+PHONE_PAT = r"\+?[0-9]{2,4}[-/ ][0-9]{3,6}[-/ ][0-9]{3,8}"
+IPV4_PAT = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+IBAN_PAT = r"\b[A-Z]{2}[0-9]{2}(?: ?[0-9A-Z]{4}){3,7}\b"
+
+# fixed application order, most-specific first: an IBAN contains
+# phone-shaped digit groups, so it must redact before the phone pattern;
+# emails before phone/IP keeps digits inside an address intact. Counts are
+# per-class on the RAW text (order-independent detectors); only redaction
+# consumes matches sequentially.
+PII_PATTERNS: dict[str, str] = {
+    "iban": IBAN_PAT,
+    "email": EMAIL_PAT,
+    "phone": PHONE_PAT,
+    "ipv4": IPV4_PAT,
+}
+
+REDACTION_TOKEN = "<PII:{kind}>"
+
+
+def with_pii_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """One count column per PII class (n_email, n_phone, ...) plus a total
+    and a boolean `has_pii` — pure regexp_count Columns, one codegen stage,
+    no Python. The counts are what a curation pipeline thresholds on
+    (e.g. drop docs with > k distinct PII hits)."""
+    out = df
+    total = F.lit(0)
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        out = out.withColumn(f"n_{kind}", c)
+        total = total + c
+    return out.withColumn("n_pii", total).withColumn("has_pii", total > 0)
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame:
+    """Replace every PII match with a typed redaction token, applying the
+    patterns in the fixed PII_PATTERNS order (IBAN before phone: an IBAN's
+    spaced digit groups would otherwise partially redact as a phone) — a
+    chain of regexp_replace Columns, still zero Python."""
+    col = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, REDACTION_TOKEN.format(kind=kind))
+    return df.withColumn(out_col, col)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 13
+) -> DataFrame:
+    """(id, gram_hash) — xxhash64 of each distinct word n-gram. Tokens via
+    the corpus-wide whitespace contract (dedup.tokens_col); documents
+    shorter than n tokens contribute their single full-text gram, so no
+    document is invisible to the check."""
+    from .dedup import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(size - F.lit(n), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        )
+        .where(F.length("gram") > 0)
+        .select("id", F.xxhash64("gram").alias("gram_hash"))
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination against an eval/benchmark corpus: a doc is
+    contaminated iff it shares >= 1 word n-gram with ANY benchmark text.
+    Returns (id, contaminated_grams, contaminated).
+
+    Plan shape for 100 TB: the benchmark side collapses to a distinct
+    gram_hash set (tiny — benchmarks are MBs, corpora are TBs) that Spark
+    broadcasts; the document side is one explode + one broadcast semi-ish
+    join + one groupBy. No substring matching, no cross join."""
+    doc_grams = ngram_hashes(docs, id_col, text_col, n)
+    bench_grams = (
+        ngram_hashes(benchmark.select(F.lit(0).alias("bid"), F.col(bench_text_col)), "bid", bench_text_col, n)
+        .select("gram_hash")
+        .distinct()
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram_hash").groupBy("id").agg(
+        F.count(F.lit(1)).alias("contaminated_grams")
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return (
+        base.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("contaminated_grams", F.lit(0)).alias("contaminated_grams"),
+            (F.coalesce("contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """The filter form: documents with no shared n-gram (LEFT ANTI join on
+    the broadcast benchmark gram set — the exact plan a 10^10-doc
+    decontamination pass wants)."""
+    doc_grams = ngram_hashes(docs, id_col, text_col, n)
+    bench_grams = (
+        ngram_hashes(benchmark.select(F.lit(0).alias("bid"), F.col(bench_text_col)), "bid", bench_text_col, n)
+        .select("gram_hash")
+        .distinct()
+    )
+    dirty = doc_grams.join(F.broadcast(bench_grams), "gram_hash").select("id").distinct()
+    return docs.join(dirty.withColumnRenamed("id", id_col), id_col, "left_anti")

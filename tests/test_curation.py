@@ -1,0 +1,76 @@
+"""PII detection/redaction + benchmark decontamination
+(crawler_german_localpoliticans_spark/operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_german_localpoliticans_spark.operators import curation
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "schreib an max.mustermann@stadt-muenchen.de oder ruf +49-3012-4455 an"),
+        (2, "server 192.168.0.1 und konto DE89 3704 0044 0532 0130 hier"),
+        (3, "ganz harmloser text ohne besondere inhalte"),
+        (4, "zwei adressen: a@b.de und c.d@e-f.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.redact_pii(curation.with_pii_counts(df, "text"), "text")
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (1, 1)
+    assert (got[2]["n_ipv4"], got[2]["n_iban"]) == (1, 1)
+    assert got[3]["n_pii"] == 0 and not got[3]["has_pii"]
+    assert got[4]["n_email"] == 2
+    assert "<PII:email>" in got[1]["redacted"] and "<PII:phone>" in got[1]["redacted"]
+    assert "mustermann" not in got[1]["redacted"]
+    assert "<PII:ipv4>" in got[2]["redacted"] and "<PII:iban>" in got[2]["redacted"]
+    assert got[3]["redacted"] == rows[2][1]  # untouched
+    assert got[4]["redacted"].count("<PII:email>") == 2
+
+
+def test_contamination_check_and_decontaminate(spark):
+    # benchmark shares a 5-gram with docs 1 and 2, not with 3
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "prefix words alpha beta gamma delta epsilon more tail words here"),
+        (2, bench_text),  # exact benchmark copy
+        (3, "totally unrelated content about spark adaptive query execution plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+
+    out = {
+        r["id"]: (r["contaminated_grams"], r["contaminated"])
+        for r in curation.contamination_check(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    assert out[1][1] and out[1][0] >= 1
+    assert out[2][1]
+    assert out[3] == (0, False)
+
+    clean = curation.decontaminate(docs, bench, "doc_id", "text", n=5)
+    assert [r["doc_id"] for r in clean.collect()] == [3]
+
+
+def test_short_docs_still_checked(spark):
+    # a doc shorter than n tokens contributes its full text as one gram
+    docs = spark.createDataFrame([(1, "tiny doc"), (2, "other words")], "doc_id long, text string")
+    bench = spark.createDataFrame([("tiny doc",)], "text string")
+    out = {
+        r["id"]: r["contaminated"]
+        for r in curation.contamination_check(docs, bench, "doc_id", "text", n=13).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark gram set must be the BROADCAST side — at 10^10 docs the
+    document grams can never be shuffled against a tiny eval set."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    out = curation.contamination_check(docs, bench, "doc_id", "text", n=13)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -587,10 +587,10 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/curation.py): documents sharing
     any 13-token gram with the 'benchmark' (every 97th document's text) are
-    contaminated. Spark joins on xxhash64(gram) (broadcast semi-join shape);
-    the oracle joins on the gram STRING — identical results barring a 64-bit
-    hash collision (~1e-11 at this gram count), the same argument as the
-    minhash band oracle."""
+    contaminated. Spark joins on a 64-bit gram hash (Arrow kernel, broadcast
+    semi-join shape); the oracle joins on the gram STRING — identical
+    results barring a 64-bit hash collision (~1e-11 at this gram count),
+    the same argument as the minhash band oracle."""
     from crawler_german_localpoliticans_spark.operators.curation import contamination_check
 
     docs = _docs(spark, sf_dir)
@@ -598,6 +598,23 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = contamination_check(docs, bench, "doc_id", "text", n=13)
     return out.select(
         F.col("id").alias("doc_id"), "contaminated_grams", "contaminated"
+    )
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity filters (operators/textstats.py
+    repetition_stats): distinct-token ratio, top-token share, character
+    entropy — every value re-derived in the DuckDB oracle from the same
+    definitions (H = ln n - Σ c·ln c / n)."""
+    from crawler_german_localpoliticans_spark.operators.textstats import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        _e6(F.col("distinct_token_ratio")).alias("distinct_token_ratio_e6"),
+        _e6(F.col("top_token_ratio")).alias("top_token_ratio_e6"),
+        _e6(F.col("char_entropy")).alias("char_entropy_e6"),
     )
 
 
@@ -738,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_frequency": _q_doc_frequency,
         "pii_scrub": _q_pii_scrub,
         "contamination": _q_contamination,
+        "repetition_stats": _q_repetition_stats,
         "politeness_schedule": _q_politeness_schedule,
         "corpus_curation": _q_corpus_curation,
         "rollup_pricing": _q_rollup_pricing,
@@ -1353,6 +1371,57 @@ def oracle_sql() -> dict[str, str]:
         # ~1e-11 64-bit collision)
         "pii_scrub": _pii_oracle_sql(),
         "contamination": _CONTAMINATION_ORACLE_SQL,
+        # Gopher-style repetition/diversity: same definitions, same 6-dec
+        # rounding; entropy via the one-pass identity H = ln n - Σ c·ln c / n
+        "repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                FROM documents
+            ),
+            ratios AS (
+                SELECT doc_id,
+                       len(tk) AS n_tokens,
+                       round(len(list_distinct(tk)) * 1.0
+                             / greatest(len(tk), 1), 6) AS dtr
+                FROM toks
+            ),
+            tok_rows AS (
+                SELECT doc_id, unnest(tk) AS tok FROM toks
+            ),
+            tok_counts AS (
+                SELECT doc_id, tok, count(*) AS c FROM tok_rows
+                WHERE length(tok) > 0 GROUP BY doc_id, tok
+            ),
+            top AS (
+                SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS ttr
+                FROM tok_counts GROUP BY doc_id
+            ),
+            ch_counts AS (
+                SELECT doc_id, ch, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, length(text) + 1),
+                                                 i -> text[i])) AS ch
+                    FROM documents
+                ) GROUP BY doc_id, ch
+            ),
+            ent AS (
+                SELECT doc_id,
+                       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS h
+                FROM ch_counts GROUP BY doc_id
+            )
+            SELECT r.doc_id,
+                   CAST(r.n_tokens AS INT) AS n_tokens,
+                   CAST(round(r.dtr * 1000000) AS BIGINT)
+                       AS distinct_token_ratio_e6,
+                   CAST(round(coalesce(t.ttr, 0.0) * 1000000) AS BIGINT)
+                       AS top_token_ratio_e6,
+                   CAST(round(coalesce(e.h, 0.0) * 1000000) AS BIGINT)
+                       AS char_entropy_e6
+            FROM ratios r
+            LEFT JOIN top t ON t.doc_id = r.doc_id
+            LEFT JOIN ent e ON e.doc_id = r.doc_id
+        """,
         # raw-value oracles for the crc32 detectors: DuckDB has no crc32
         # builtin, but CRC-32 is pure bit arithmetic — an inline lookup
         # table + list_reduce recomputes zlib/JVM-identical hashes, so the

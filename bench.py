@@ -196,6 +196,9 @@ def main() -> None:
         "quality_score",
         "token_count",
         "fingerprint",
+        "pii_scrub",
+        "contamination",
+        "repetition_stats",
         "ledger_events",
         "events_window",
         "pricing_summary",

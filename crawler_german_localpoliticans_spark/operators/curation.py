@@ -7,14 +7,16 @@ Both are Spark-first:
   regexes shared verbatim with the DuckDB oracle (__spark_entry__.py);
 - decontamination is a hashed n-gram semi-join — the industry-standard
   "drop any document sharing an n-gram with the eval set" rule (as used for
-  C4/GPT-3-style decontamination) expressed as explode -> xxhash64 ->
-  broadcast-able LEFT SEMI/ANTI join, never a substring scan per pair.
+  C4/GPT-3-style decontamination) expressed as an Arrow gram-hash kernel ->
+  explode -> broadcast-able LEFT SEMI/ANTI join, never a substring scan per
+  pair.
   At 10^10 docs the benchmark n-gram table is tiny (a few million grams) and
   broadcasts; the document side stays a single map pass + one semi-join.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -75,23 +77,44 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataF
 def ngram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int = 13
 ) -> DataFrame:
-    """(id, gram_hash) — xxhash64 of each distinct word n-gram. Tokens via
-    the corpus-wide whitespace contract (dedup.tokens_col); documents
-    shorter than n tokens contribute their single full-text gram, so no
-    document is invisible to the check."""
-    from .dedup import tokens_col
+    """(id, gram_hash) — 64-bit hash of each DISTINCT word n-gram, computed
+    in one Arrow map pass per batch (the JVM transform/slice/concat
+    higher-order form evaluates interpreted per element — the same cost the
+    MinHash signatures eliminated, operators/dedup.py). Tokens follow the
+    corpus-wide whitespace contract; documents shorter than n tokens
+    contribute their single full-text gram, so no document is invisible to
+    the check.
 
-    toks = tokens_col(F.col(text_col))
-    size = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(size - F.lit(n), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    The hash is the first 8 bytes of MD5 (C-speed via hashlib; both join
+    sides use THIS kernel, so the choice is self-consistent and invisible
+    to callers). 64 bits keeps false collisions negligible even at
+    10^10-doc scale (~3e11 grams -> expected ~2e3 spurious gram matches
+    corpus-wide, i.e. a ~1e-7 false-contamination rate on a
+    recall-oriented filter)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").strip().split()
+            gs = {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
+            gs.discard("")
+            out.append(
+                [
+                    int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big", signed=True)
+                    for g in gs
+                ]
+                or None
+            )
+        return pd.Series(out)
+
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(grams)).alias("gram"),
-        )
-        .where(F.length("gram") > 0)
-        .select("id", F.xxhash64("gram").alias("gram_hash"))
+        df.select(F.col(id_col).alias("id"), grams(F.col(text_col)).alias("gs"))
+        .where(F.col("gs").isNotNull())
+        .select("id", F.explode("gs").alias("gram_hash"))
     )
 
 

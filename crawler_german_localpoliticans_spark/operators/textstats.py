@@ -112,6 +112,64 @@ def doc_frequency(
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals per document — the filters
+    a training-data pipeline uses to drop boilerplate and gibberish:
+
+    - distinct_token_ratio: |distinct tokens| / |tokens| (low = repetitive);
+    - top_token_ratio: share of the most frequent token (high = boilerplate);
+    - char_entropy: Shannon entropy (nats) of the character distribution
+      (low = gibberish/repeated chars).
+
+    Ratios are pure Column math; the two frequency signals are one explode +
+    hash groupBy each (map-side partial agg), re-joined on the id — no
+    Python anywhere, and every output is 6-dec rounded so the DuckDB oracle
+    hash-matches."""
+    from .dedup import tokens_col
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    toks = tokens_col(F.col("text"))
+    ratios = base.select(
+        "id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("distinct_token_ratio"),
+    )
+    tok_rows = base.select("id", F.explode(toks).alias("tok")).where(F.length("tok") > 0)
+    top = (
+        tok_rows.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+        .select("id", F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_token_ratio"))
+    )
+    ch_rows = base.select("id", F.explode(F.split("text", "")).alias("ch")).where(
+        F.length("ch") > 0
+    )
+    ent = (
+        ch_rows.groupBy("id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        # H = ln(n) - (1/n) * sum c*ln(c) — one pass, no per-char division
+        .select(
+            "id",
+            F.round(F.log("n") - F.col("clogc") / F.col("n"), 6).alias("char_entropy"),
+        )
+    )
+    return ratios.join(top, "id", "left").join(ent, "id", "left").select(
+        "id",
+        "n_tokens",
+        "distinct_token_ratio",
+        F.coalesce("top_token_ratio", F.lit(0.0)).alias("top_token_ratio"),
+        F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting (rolling hash / winnowing-style)
 # ---------------------------------------------------------------------------

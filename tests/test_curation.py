@@ -74,3 +74,27 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     out = curation.contamination_check(docs, bench, "doc_id", "text", n=13)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_stats_values(spark):
+    from crawler_german_localpoliticans_spark.operators.textstats import repetition_stats
+    import math
+
+    rows = [
+        (1, "a a a a"),            # maximally repetitive
+        (2, "w x y z"),            # fully diverse tokens
+        (3, "aaaa"),               # single repeated char: entropy 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["distinct_token_ratio"] == 0.25
+    assert got[1]["top_token_ratio"] == 1.0
+    assert got[2]["distinct_token_ratio"] == 1.0
+    assert got[2]["top_token_ratio"] == 0.25
+    assert got[3]["char_entropy"] == 0.0
+    # "a a a a": 4x'a' + 3x' ' over 7 chars
+    p_a, p_s = 4 / 7, 3 / 7
+    expected_h = round(-(p_a * math.log(p_a) + p_s * math.log(p_s)), 6)
+    assert abs(got[1]["char_entropy"] - expected_h) < 1e-6

@@ -444,6 +444,37 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_normalize_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — the ingest-path normalizer (crawler_ingest.py:143-172), distinct
+    from the crawl-path canonicalizer: userinfo dropped, default ports
+    stripped, path-segment params and fragments dropped, query kept, plus
+    the relational parts columns the url_ledger stores. Even doc_ids probe
+    userinfo + default port + params + fragment; odd ones a non-default
+    port with no path."""
+    from crawler_german_localpoliticans_spark.functions import udfs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    d = F.col("doc_id").cast("string")
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTP://User:Pw@Host"), d, F.lit(".Example.DE:80/pfad/"),
+            d, F.lit(";params?x="), d, F.lit("&y=2#frag"),
+        ),
+    ).otherwise(F.concat(F.lit("HTTPS://Host"), d, F.lit(".Example.DE:8443")))
+    out = docs.select("doc_id", messy.alias("raw_url"), udfs.normalize_ingest(messy).alias("n"))
+    return out.select(
+        "doc_id",
+        "raw_url",
+        F.col("n.normalized").alias("normalized"),
+        F.col("n.scheme").alias("scheme"),
+        F.col("n.host").alias("host"),
+        F.col("n.port").alias("port"),
+        F.col("n.path").alias("path"),
+        F.col("n.query").alias("query"),
+    )
+
+
 def _q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the flagship robots path: policies parsed on executors as a
     DataFrame, picked up via the size-guarded host_key join (never a driver
@@ -773,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "volume_by_nation": _q_volume_by_nation,
         "url_canonicalize": _q_url_canonicalize,
+        "url_normalize_ingest": _q_url_normalize_ingest,
         "robots_eval": _q_robots_eval,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1302,6 +1334,36 @@ def oracle_sql() -> dict[str, str]:
                    'host' || CAST(doc_id AS VARCHAR) || '.example.de_seite_'
                      || CAST(doc_id AS VARCHAR) AS safe_filename
             FROM documents WHERE doc_id < 200
+        """,
+        # C2 ingest normalizer: pure string arithmetic of the stdlib
+        # urlparse semantics on the two fixture shapes — userinfo dropped,
+        # default port stripped (even rows), non-default port kept with
+        # path defaulting to '/' (odd rows); params + fragment dropped,
+        # query kept
+        "url_normalize_ingest": """
+            WITH d AS (
+                SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents
+                WHERE doc_id < 200
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'HTTP://User:Pw@Host' || s || '.Example.DE:80/pfad/'
+                             || s || ';params?x=' || s || '&y=2#frag'
+                        ELSE 'HTTPS://Host' || s || '.Example.DE:8443'
+                   END AS raw_url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://host' || s || '.example.de/pfad/' || s
+                             || '?x=' || s || '&y=2'
+                        ELSE 'https://host' || s || '.example.de:8443/'
+                   END AS normalized,
+                   CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+                   'host' || s || '.example.de' AS host,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 8443 END AS INT)
+                       AS port,
+                   CASE WHEN doc_id % 2 = 0 THEN '/pfad/' || s ELSE '/' END AS path,
+                   CASE WHEN doc_id % 2 = 0 THEN 'x=' || s || '&y=2' ELSE '' END
+                       AS query
+            FROM d
         """,
         # Robots policy evaluation over the derived corpus: hosts h%5==1
         # disallow the /seite/1 prefix for all agents; hosts h%7==3 (and not

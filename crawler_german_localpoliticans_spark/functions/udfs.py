@@ -22,6 +22,7 @@ from .urls import (
     canonicalize_url as _canonicalize,
     derive_custom_id as _custom_id,
     host_key as _host_key,
+    normalize_url_ingest as _normalize_url_ingest,
     safe_filename_from_url as _safe_filename,
     url_host as _url_host,
     url_path as _url_path,
@@ -100,6 +101,39 @@ def clean_extract(htmls: pd.Series) -> pd.DataFrame:
         cleaned.append(c)
         texts.append(t)
     return pd.DataFrame({"clean_html": cleaned, "text": texts})
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("normalized", T.StringType()),
+            T.StructField("scheme", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("port", T.IntegerType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("query", T.StringType()),
+        ]
+    )
+)
+def normalize_ingest(urls: pd.Series) -> pd.DataFrame:
+    """C2 (crawler_ingest.py:143-172) as an Arrow struct column: the
+    normalized ledger key plus its relational parts. Invalid URLs (no
+    scheme/host) yield a NULL normalized value — the reference raises and
+    skips the row; callers filter on normalized IS NOT NULL."""
+    cols = {"normalized": [], "scheme": [], "host": [], "port": [], "path": [], "query": []}
+    for u in urls:
+        try:
+            normalized, parts = _normalize_url_ingest(u or "")
+        except ValueError:
+            cols["normalized"].append(None)
+            for k in ("scheme", "host", "port", "path", "query"):
+                cols[k].append(None)
+            continue
+        cols["normalized"].append(normalized)
+        for k in ("scheme", "host", "path", "query"):
+            cols[k].append(parts[k])
+        cols["port"].append(parts["port"])
+    return pd.DataFrame(cols)
 
 
 @pandas_udf(T.StringType())

@@ -192,3 +192,55 @@ def derive_custom_id(source_key: str) -> str:
     if not sanitized:
         sanitized = "file"
     return "request_" + sanitized
+
+
+def normalize_url_ingest(raw_url: str) -> tuple[str, dict]:
+    """C2 — the INGEST-path URL normalizer, distinct from the crawl-path
+    canonicalize_url (C1). Faithful to the reference
+    (python_container/crawler_ingest.py:143-172), which uses stdlib
+    urlparse/urlunparse — so does this, quirks included:
+
+    - raises ValueError when scheme or netloc is missing (the reference
+      skips such ledger rows);
+    - scheme lowercased; host is `urlparse().hostname` (lowercased, userinfo
+      DROPPED, IPv6 brackets stripped by stdlib — re-added by urlunparse
+      netloc assembly only via the plain host string);
+    - default ports stripped for http/https only; other schemes keep theirs;
+    - path defaults to '/'; params (the `;segment` part) and fragment are
+      DROPPED; query is kept verbatim (unlike C1, which strips nothing from
+      the query but re-encodes components);
+    - returns (normalized, parts) where parts carries scheme/host/port/
+      path/query — the url_ledger's relational columns
+      (crawler_ingest.py:189-241).
+    """
+    from urllib.parse import urlparse, urlunparse
+
+    parsed = urlparse(raw_url)
+    if not parsed.scheme or not parsed.netloc:
+        raise ValueError(f"URL missing scheme or host: {raw_url}")
+
+    scheme = parsed.scheme.lower()
+    host = parsed.hostname.lower() if parsed.hostname else None
+    port = parsed.port
+
+    if scheme in {"http", "https"}:
+        if (scheme == "http" and (port is None or port == 80)) or (
+            scheme == "https" and (port is None or port == 443)
+        ):
+            port = None
+
+    netloc = host or ""
+    if port:
+        netloc = f"{netloc}:{port}"
+
+    path = parsed.path or "/"
+    query = parsed.query or ""
+
+    normalized = urlunparse((scheme, netloc, path, "", query, ""))
+    return normalized, {
+        "scheme": scheme,
+        "host": host,
+        "port": port,
+        "path": path,
+        "query": query,
+    }

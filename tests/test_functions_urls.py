@@ -137,3 +137,32 @@ def test_safe_filename_truncate_and_empty():
 )
 def test_derive_custom_id(key, expected):
     assert derive_custom_id(key) == expected
+
+
+def test_normalize_url_ingest_reference_parity():
+    """C2 (crawler_ingest.py:143-172): stdlib urlparse semantics, quirks
+    included — userinfo dropped, default ports stripped for http/https only,
+    path-segment params and fragment dropped, query kept, '/' default path,
+    ValueError on missing scheme/host."""
+    import pytest
+
+    from crawler_german_localpoliticans_spark.functions.urls import normalize_url_ingest
+
+    n, p = normalize_url_ingest("HTTP://User:Pw@Host.Example.DE:80/pfad/x;params?q=1#frag")
+    assert n == "http://host.example.de/pfad/x?q=1"
+    assert p == {"scheme": "http", "host": "host.example.de", "port": None,
+                 "path": "/pfad/x", "query": "q=1"}
+
+    n, p = normalize_url_ingest("HTTPS://a.de:8443")
+    assert n == "https://a.de:8443/"
+    assert p["port"] == 8443 and p["path"] == "/" and p["query"] == ""
+
+    # https default port stripped; http non-default kept
+    assert normalize_url_ingest("https://a.de:443/x")[0] == "https://a.de/x"
+    assert normalize_url_ingest("http://a.de:8080/x")[1]["port"] == 8080
+    # non-http(s) schemes keep their default-looking ports
+    assert normalize_url_ingest("ftp://a.de:80/x")[1]["port"] == 80
+
+    for bad in ("no-scheme.de/x", "http://", "mailto:x@y.de"):
+        with pytest.raises(ValueError):
+            normalize_url_ingest(bad)

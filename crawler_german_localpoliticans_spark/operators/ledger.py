@@ -33,12 +33,29 @@ from ..functions.names import (
 
 
 def url_ledger(fetched: DataFrame) -> DataFrame:
-    """D6: min-depth / max-seen / count per URL (urls are already canonical
-    in the engine; the reference normalizes at ingest)."""
-    return fetched.groupBy("url").agg(
-        F.min("depth").alias("last_depth"),
-        F.max("scraped_at").alias("last_seen_at"),
-        F.count(F.lit(1)).alias("n_fetches"),
+    """D6 — the reference's per-URL upsert algebra as one aggregation
+    (crawler_ingest.py:189-241): the INSERT ... ON CONFLICT DO NOTHING keeps
+    the first-processed row's timestamp as first_seen_at (processing order
+    is fetch order, i.e. seq), the conflict UPDATE keeps
+    last_seen_at = GREATEST(seen) and last_depth = LEAST(depth) ignoring
+    nulls (min already skips nulls in Spark). URLs are already canonical in
+    the engine; the reference normalizes at ingest (see
+    urls.normalize_url_ingest for the relational parts)."""
+    return (
+        fetched.groupBy("url")
+        .agg(
+            F.min(F.struct(F.col("seq"), F.col("scraped_at"))).alias("_first"),
+            F.min("depth").alias("last_depth"),
+            F.max("scraped_at").alias("last_seen_at"),
+            F.count(F.lit(1)).alias("n_fetches"),
+        )
+        .select(
+            "url",
+            F.col("_first.scraped_at").alias("first_seen_at"),
+            "last_seen_at",
+            "last_depth",
+            "n_fetches",
+        )
     )
 
 

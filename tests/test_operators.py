@@ -145,7 +145,11 @@ def test_url_ledger_min_max(spark):
     out = {r["url"]: r for r in ledger.url_ledger(df).collect()}
     assert out["https://a.de/"]["last_depth"] == 0
     assert out["https://a.de/"]["last_seen_at"] == ts(2025, 1, 2)
+    # first_seen_at = the FIRST-processed fetch's stamp (seq order), the
+    # reference's ON CONFLICT DO NOTHING insert semantics
+    assert out["https://a.de/"]["first_seen_at"] == ts(2025, 1, 1)
     assert out["https://a.de/"]["n_fetches"] == 2
+    assert out["https://b.de/"]["first_seen_at"] == out["https://b.de/"]["last_seen_at"]
 
 
 def test_discovered_links_positions(spark):

@@ -1048,10 +1048,13 @@ def _simhash_oracle_sql() -> str:
 
 def _pii_oracle_sql() -> str:
     """PII counts + typed-token redaction re-derived in DuckDB with the
-    SAME regex strings (operators/curation.py PII_PATTERNS) — counts via
-    regexp_extract_all, redaction via chained regexp_replace(..., 'g')
-    applied in the same fixed order. The synthetic PII augmentation is the
-    same string concat as _pii_augmented_docs."""
+    SAME regex strings (operators/curation.py PII_PATTERNS). Counting
+    mirrors the operator's sequential consumption: each class counts on the
+    text with higher-precedence classes already redacted (so an IBAN's
+    phone-shaped digit groups never double-count), via staged CTE columns
+    t0..tN; redaction is the same chained regexp_replace(..., 'g'). The
+    synthetic PII augmentation is the same string concat as
+    _pii_augmented_docs."""
     from crawler_german_localpoliticans_spark.operators.curation import (
         PII_PATTERNS,
         REDACTION_TOKEN,
@@ -1073,26 +1076,32 @@ def _pii_oracle_sql() -> str:
         f"CASE WHEN doc_id % 7 = 3 THEN ({aug}) || ' IBAN DE89 3704 0044 0532 0130' "
         f"ELSE ({aug}) END"
     )
-    counts = ",\n                   ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
-        for kind, pat in PII_PATTERNS.items()
-    )
-    total = " + ".join(f"n_{kind}" for kind in PII_PATTERNS)
-    red = "text"
+    # staged texts: t0 = augmented input, t(i+1) = t(i) with class i redacted;
+    # n_<kind_i> counts on t(i) — exactly the operator's sequential columns
+    stages = []
+    red = "t0"
+    counts = []
     for kind, pat in PII_PATTERNS.items():
+        counts.append(f"len(regexp_extract_all({red}, '{pat}')) AS n_{kind}")
         tok = REDACTION_TOKEN.format(kind=kind)
-        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+        nxt = f"t{len(stages) + 1}"
+        stages.append(f"regexp_replace({red}, '{pat}', '{tok}', 'g') AS {nxt}")
+        red = nxt
+    total = " + ".join(f"n_{kind}" for kind in PII_PATTERNS)
+    counts_sql = ",\n                   ".join(counts)
+    stages_sql = ",\n                   ".join(stages)
     return f"""
         WITH aug AS (
-            SELECT doc_id, {aug} AS text FROM documents
+            SELECT doc_id, {aug} AS t0 FROM documents
         ),
         c AS (
-            SELECT doc_id, text,
-                   {counts}
+            SELECT doc_id, t0,
+                   {stages_sql},
+                   {counts_sql}
             FROM aug
         )
         SELECT doc_id, n_email, n_phone, n_ipv4, n_iban,
-               (n_email + n_phone + n_ipv4 + n_iban) AS n_pii,
+               ({total}) AS n_pii,
                ({total}) > 0 AS has_pii,
                {red} AS redacted
         FROM c
@@ -1442,9 +1451,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             ratios AS (
                 SELECT doc_id,
-                       len(tk) AS n_tokens,
-                       round(len(list_distinct(tk)) * 1.0
-                             / greatest(len(tk), 1), 6) AS dtr
+                       len(list_filter(tk, t -> length(t) > 0)) AS n_tokens,
+                       round(len(list_distinct(list_filter(tk, t -> length(t) > 0))) * 1.0
+                             / greatest(len(list_filter(tk, t -> length(t) > 0)), 1), 6)
+                           AS dtr
                 FROM toks
             ),
             tok_rows AS (

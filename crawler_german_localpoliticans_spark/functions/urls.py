@@ -211,7 +211,13 @@ def normalize_url_ingest(raw_url: str) -> tuple[str, dict]:
       the query but re-encodes components);
     - returns (normalized, parts) where parts carries scheme/host/port/
       path/query — the url_ledger's relational columns
-      (crawler_ingest.py:189-241).
+      (crawler_ingest.py:189-241);
+    - QUIRK (reference-faithful, crawler_ingest.py:159-161 `if port:`): an
+      explicit `:0` port is truthy-falsy, so it is dropped from the
+      normalized KEY while parts['port'] still reports 0 — `http://a.de:0/x`
+      shares a ledger key with `http://a.de/x`. Preserved because the
+      normalized string is the reference's UNIQUE column; diverging here
+      would split ledger rows the reference merges.
     """
     from urllib.parse import urlparse, urlunparse
 

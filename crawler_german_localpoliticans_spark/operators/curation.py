@@ -31,9 +31,9 @@ IBAN_PAT = r"\b[A-Z]{2}[0-9]{2}(?: ?[0-9A-Z]{4}){3,7}\b"
 
 # fixed application order, most-specific first: an IBAN contains
 # phone-shaped digit groups, so it must redact before the phone pattern;
-# emails before phone/IP keeps digits inside an address intact. Counts are
-# per-class on the RAW text (order-independent detectors); only redaction
-# consumes matches sequentially.
+# emails before phone/IP keeps digits inside an address intact. Both
+# counting and redaction consume matches in THIS order, so n_<kind> always
+# equals the number of <PII:kind> tokens in the redacted text.
 PII_PATTERNS: dict[str, str] = {
     "iban": IBAN_PAT,
     "email": EMAIL_PAT,
@@ -46,15 +46,21 @@ REDACTION_TOKEN = "<PII:{kind}>"
 
 def with_pii_counts(df: DataFrame, text_col: str) -> DataFrame:
     """One count column per PII class (n_email, n_phone, ...) plus a total
-    and a boolean `has_pii` — pure regexp_count Columns, one codegen stage,
-    no Python. The counts are what a curation pipeline thresholds on
-    (e.g. drop docs with > k distinct PII hits)."""
+    and a boolean `has_pii` — pure regexp Columns, one codegen stage, no
+    Python. Counts consume matches in the SAME precedence order as
+    redact_pii (each class counts on the text with higher-precedence
+    classes already redacted): without that, the phone-shaped digit groups
+    inside every IBAN would double-count as phones and n_<kind> would
+    disagree with the redaction tokens actually emitted — the class counts
+    always equal the number of <PII:kind> tokens in the redacted text."""
     out = df
     total = F.lit(0)
+    remaining = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
-        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        c = F.regexp_count(remaining, F.lit(pat))
         out = out.withColumn(f"n_{kind}", c)
         total = total + c
+        remaining = F.regexp_replace(remaining, pat, REDACTION_TOKEN.format(kind=kind))
     return out.withColumn("n_pii", total).withColumn("has_pii", total > 0)
 
 
@@ -95,11 +101,13 @@ def ngram_hashes(
 
     from pyspark.sql import types as T
 
+    from .dedup import tokens_py
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def grams(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").strip().split()
+            toks = tokens_py(t)
             gs = {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
             gs.discard("")
             out.append(
@@ -115,6 +123,22 @@ def ngram_hashes(
         df.select(F.col(id_col).alias("id"), grams(F.col(text_col)).alias("gs"))
         .where(F.col("gs").isNotNull())
         .select("id", F.explode("gs").alias("gram_hash"))
+    )
+
+
+def _bench_gram_hashes(benchmark: DataFrame, bench_text_col: str, n: int) -> DataFrame:
+    """The benchmark side's distinct gram_hash set — ONE definition shared
+    by contamination_check and decontaminate so the check form can never
+    silently desynchronize from the filter form."""
+    return (
+        ngram_hashes(
+            benchmark.select(F.lit(0).alias("bid"), F.col(bench_text_col)),
+            "bid",
+            bench_text_col,
+            n,
+        )
+        .select("gram_hash")
+        .distinct()
     )
 
 
@@ -135,11 +159,7 @@ def contamination_check(
     broadcasts; the document side is one explode + one broadcast semi-ish
     join + one groupBy. No substring matching, no cross join."""
     doc_grams = ngram_hashes(docs, id_col, text_col, n)
-    bench_grams = (
-        ngram_hashes(benchmark.select(F.lit(0).alias("bid"), F.col(bench_text_col)), "bid", bench_text_col, n)
-        .select("gram_hash")
-        .distinct()
-    )
+    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
     hits = doc_grams.join(F.broadcast(bench_grams), "gram_hash").groupBy("id").agg(
         F.count(F.lit(1)).alias("contaminated_grams")
     )
@@ -166,10 +186,6 @@ def decontaminate(
     the broadcast benchmark gram set — the exact plan a 10^10-doc
     decontamination pass wants)."""
     doc_grams = ngram_hashes(docs, id_col, text_col, n)
-    bench_grams = (
-        ngram_hashes(benchmark.select(F.lit(0).alias("bid"), F.col(bench_text_col)), "bid", bench_text_col, n)
-        .select("gram_hash")
-        .distinct()
-    )
+    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
     dirty = doc_grams.join(F.broadcast(bench_grams), "gram_hash").select("id").distinct()
     return docs.join(dirty.withColumnRenamed("id", id_col), id_col, "left_anti")

@@ -39,6 +39,7 @@ invariant instead (driver query `minhash_planted_xx`).
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
@@ -63,6 +64,22 @@ def _permutation_params(num_perm: int = NUM_PERM, seed: int = 42) -> list[tuple[
 def tokens_col(text_col):
     """Whitespace tokenization — the shared contract with textstats + oracle."""
     return F.split(F.trim(text_col), r"\s+")
+
+
+_JVM_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def tokens_py(text: str) -> list[str]:
+    """EXACT Python mirror of tokens_col (`F.split(F.trim(text), '\\s+')`):
+    Spark's trim strips 0x20 ONLY, and Java-regex \\s is the ASCII class
+    [ \\t\\n\\x0B\\f\\r]. Python's bare str.strip()/str.split() are
+    Unicode-aware (full strip, NBSP/em-space split), which silently diverges
+    on leading/trailing tabs/newlines and non-breaking spaces — real
+    web-extracted text — so EVERY Python-side kernel and parity oracle must
+    tokenize through this function, never str.split(). Like the JVM form,
+    a leading/trailing non-space whitespace run yields an empty token
+    (consumers filter as the JVM plan does)."""
+    return _JVM_WS_RE.split((text or "").strip(" "))
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -144,7 +161,7 @@ def minhash_signatures_arrow(
     def sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").strip().split()
+            toks = tokens_py(t)
             shingles = {" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))}
             shingles.discard("")
             if not shingles:
@@ -231,7 +248,7 @@ def minhash_dedup_pairs(
     num_perm: int = NUM_PERM,
     k: int = 3,
     hash_family: str = "crc32",
-    engine: str = "arrow",
+    engine: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with estimated Jaccard >= threshold:
     signatures -> LSH buckets -> candidate pairs -> signature-agreement
@@ -240,18 +257,21 @@ def minhash_dedup_pairs(
     hash_family: "crc32" (default; Python/DuckDB-recomputable parity) or
     "xxhash64" (64-bit family for >= ~1e9 distinct shingles — see the
     module scale note).
-    engine (crc32 family only): "arrow" (default — shuffle-free numpy
-    kernel, ~20x faster, byte-identical signatures) or "jvm" (the
-    explode + 64-min-aggregates Column form). xxhash64 has no Python
-    implementation available here, so that family is always JVM."""
+    engine: None picks the best available per family (crc32 -> "arrow",
+    the shuffle-free numpy kernel, ~20x faster with byte-identical
+    signatures; xxhash64 -> "jvm", its only implementation). Explicit
+    values are validated loudly — asking xxhash64 for the Arrow engine is
+    an error, never a silent fallback to the shuffling JVM path."""
+    if engine not in ("arrow", "jvm", None):
+        raise ValueError(f"unknown engine: {engine!r}")
     if hash_family == "crc32":
-        if engine == "arrow":
-            sig_fn = minhash_signatures_arrow
-        elif engine == "jvm":
-            sig_fn = minhash_signatures
-        else:
-            raise ValueError(f"unknown engine: {engine!r}")
+        sig_fn = minhash_signatures if engine == "jvm" else minhash_signatures_arrow
     elif hash_family == "xxhash64":
+        if engine == "arrow":
+            raise ValueError(
+                "hash_family='xxhash64' has no Arrow engine (no Python xxhash64 "
+                "in this environment) — use engine='jvm' or leave it unset"
+            )
         sig_fn = minhash_signatures_xx
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
@@ -276,7 +296,7 @@ def minhash_dedup_pairs(
 
 
 def minhash_signature_py(text: str, num_perm: int = NUM_PERM, k: int = 3) -> list[int]:
-    toks = text.strip().split()
+    toks = tokens_py(text)
     shingles = {" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))}
     shingles = {s for s in shingles if s}
     params = _permutation_params(num_perm)
@@ -296,7 +316,7 @@ def simhash64_py(text: str) -> int:
     token hash = crc32(token) | crc32(token + 0x01 byte) << 32. Returns a
     SIGNED 64-bit int (Spark LongType two's complement)."""
     votes = [0] * 64
-    for tok in text.strip().split():
+    for tok in (t for t in tokens_py(text) if t):
         bt = tok.encode()
         h = zlib.crc32(bt) | (zlib.crc32(bt + b"\x01") << 32)
         for bit in range(64):
@@ -332,7 +352,7 @@ def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> Data
 
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = (t or "").strip().split()
+            toks = [tok for tok in tokens_py(t) if tok]
             if not toks:
                 out[i] = 0
                 continue

@@ -128,7 +128,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from .dedup import tokens_col
 
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    toks = tokens_col(F.col("text"))
+    # empty tokens (the [''] a whitespace-only text splits to) are dropped
+    # BEFORE counting: an empty doc must report 0 tokens / 0.0 diversity,
+    # not "1 perfectly-diverse token" (round-3 review finding)
+    toks = F.filter(tokens_col(F.col("text")), lambda t: F.length(t) > 0)
     ratios = base.select(
         "id",
         F.size(toks).alias("n_tokens"),

@@ -23,6 +23,10 @@ def test_pii_counts_and_redaction(spark):
 
     assert (got[1]["n_email"], got[1]["n_phone"]) == (1, 1)
     assert (got[2]["n_ipv4"], got[2]["n_iban"]) == (1, 1)
+    # sequential counting: the phone-shaped digit groups INSIDE the IBAN do
+    # not double-count as a phone (round-3 review finding) — counts always
+    # equal the redaction tokens emitted
+    assert got[2]["n_phone"] == 0 and got[2]["n_pii"] == 2
     assert got[3]["n_pii"] == 0 and not got[3]["has_pii"]
     assert got[4]["n_email"] == 2
     assert "<PII:email>" in got[1]["redacted"] and "<PII:phone>" in got[1]["redacted"]

@@ -240,3 +240,37 @@ def test_crc32_parity_with_zlib(spark):
     rows = df.select("s", F.crc32(F.encode("s", "UTF-8")).alias("c")).collect()
     for r in rows:
         assert r["c"] == zlib.crc32(r["s"].encode("utf-8"))
+
+
+def test_tokenizer_parity_on_nasty_whitespace(spark):
+    """tokens_py must mirror the JVM tokens_col EXACTLY on inputs where
+    Python's unicode-aware str.strip()/split() diverge: leading tabs and
+    newlines (kept by Spark's space-only trim, yielding a leading empty
+    token) and NBSP (not whitespace to Java regex \\s). Pinned end-to-end:
+    arrow and JVM MinHash signatures stay byte-identical on these texts."""
+    nasty = [
+        (1, "\tthe quick brown fox jumps over it"),
+        (2, "\nthe quick brown fox jumps over it"),
+        (3, "a\xa0b c d e f"),
+        (4, "  plain spaced text here ok  "),
+        (5, "x\x0by one two three"),  # vertical tab: ASCII \s on both
+    ]
+    df = spark.createDataFrame(nasty, "doc_id long, text string")
+    jvm = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(df, "doc_id", "text").collect()
+    }
+    arrow = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures_arrow(df, "doc_id", "text").collect()
+    }
+    assert arrow == jvm
+    for i, t in nasty:
+        assert arrow[i] == dedup.minhash_signature_py(t), i
+
+    # the shared tokenizer itself, against the live JVM split
+    from pyspark.sql import functions as F
+
+    rows = df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk")).collect()
+    for r in rows:
+        assert list(r["tk"]) == dedup.tokens_py(nasty[r["doc_id"] - 1][1]), r["doc_id"]

@@ -166,3 +166,16 @@ def test_normalize_url_ingest_reference_parity():
     for bad in ("no-scheme.de/x", "http://", "mailto:x@y.de"):
         with pytest.raises(ValueError):
             normalize_url_ingest(bad)
+
+
+def test_normalize_url_ingest_port_zero_quirk():
+    """Reference-faithful quirk (crawler_ingest.py:159-161 `if port:`): an
+    explicit :0 port drops out of the normalized ledger key but stays in the
+    parts column — pinned so nobody 'fixes' one side and splits ledger rows
+    the reference merges."""
+    from crawler_german_localpoliticans_spark.functions.urls import normalize_url_ingest
+
+    n, p = normalize_url_ingest("http://a.de:0/x")
+    assert n == "http://a.de/x"  # same key as the portless URL
+    assert p["port"] == 0
+    assert normalize_url_ingest("http://a.de/x")[0] == n

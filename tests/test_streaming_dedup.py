@@ -64,3 +64,32 @@ def test_streaming_dedup_emits_once_and_state_survives_restart(spark, tmp_path):
     # and the survivor for a re-discovered key is the ORIGINAL discovery
     first = {r["canonical_url"]: r["depth"] for r in out2}
     assert first["https://a.de/1"] in (1, 2)  # wave-1 row, never the depth-3 re-discovery
+
+
+def test_bounded_mode_uses_watermark_eviction_operator(spark, tmp_path):
+    """bounded_by_watermark=True must plan dropDuplicatesWithinWatermark
+    (state ages out past the horizon); exact mode must NOT attach a
+    watermark (it would not evict dropDuplicates state and would
+    misdocument it as bounded)."""
+    in_dir = tmp_path / "in2"
+    in_dir.mkdir()
+    _write(str(in_dir / "w.parquet"), [("https://a.de/1", 0, 1), ("https://a.de/1", 1, 1)])
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "out2")
+    q = run_discovery_dedup_stream(
+        spark, str(in_dir), ckpt, out_dir, bounded_by_watermark=True
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir).collect()
+    assert [r["canonical_url"] for r in out] == ["https://a.de/1"]
+
+    from crawler_german_localpoliticans_spark.streaming.dedup import (
+        deduped_discovery_stream,
+    )
+
+    batch = spark.createDataFrame(
+        [("u", __import__("datetime").datetime(2025, 1, 1))],
+        "canonical_url string, discovered_at timestamp",
+    )
+    exact_plan = deduped_discovery_stream(batch)._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" not in exact_plan

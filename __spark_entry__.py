@@ -1110,7 +1110,9 @@ def _pii_oracle_sql() -> str:
 
 _CONTAMINATION_ORACLE_SQL = r"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> length(t) > 0) AS tk
         FROM documents
     ),
     grams AS (

@@ -107,7 +107,13 @@ def ngram_hashes(
     def grams(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = tokens_py(t)
+            # CONTENT n-grams: boundary empty tokens (tokens_py's faithful
+            # JVM artifact for leading/trailing \t or \n) are dropped —
+            # otherwise '\tthe quick fox' grams as ' the quick fox' and
+            # never matches the clean benchmark text's gram, silently
+            # losing decontamination recall. (MinHash keeps the artifact:
+            # its contract is byte-parity with the JVM shingle plan.)
+            toks = [tok for tok in tokens_py(t) if tok]
             gs = {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
             gs.discard("")
             out.append(

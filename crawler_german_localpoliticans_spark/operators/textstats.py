@@ -139,7 +139,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
         ).alias("distinct_token_ratio"),
     )
-    tok_rows = base.select("id", F.explode(toks).alias("tok")).where(F.length("tok") > 0)
+    tok_rows = base.select("id", F.explode(toks).alias("tok"))
     top = (
         tok_rows.groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -102,3 +102,21 @@ def test_repetition_stats_values(spark):
     p_a, p_s = 4 / 7, 3 / 7
     expected_h = round(-(p_a * math.log(p_a) + p_s * math.log(p_s)), 6)
     assert abs(got[1]["char_entropy"] - expected_h) < 1e-6
+
+
+def test_contamination_ignores_boundary_whitespace(spark):
+    """A doc differing from a benchmark text only by leading/trailing tabs
+    or newlines is still contaminated: grams are CONTENT n-grams (empty
+    boundary tokens dropped), so '\\tthe quick...' matches the clean
+    benchmark gram (round-3 follow-up review finding)."""
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, "\t" + bench_text), (2, bench_text + "\n"), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {
+        r["id"]: r["contaminated"]
+        for r in curation.contamination_check(docs, bench, "doc_id", "text", n=6).collect()
+    }
+    assert out == {1: True, 2: True, 3: False}

@@ -32,7 +32,7 @@ def test_word_shingles_matches_python(spark, docs):
     for r in sh.collect():
         got.setdefault(r["id"], set()).add(r["shingle"])
     for r in rows:
-        toks = r["text"].strip().split()
+        toks = dedup.tokens_py(r["text"])  # the exact JVM tokenizer mirror
         expected = {" ".join(toks[i : i + 3]) for i in range(max(1, len(toks) - 2))}
         expected = {s for s in expected if s}
         assert got[r["doc_id"]] == expected

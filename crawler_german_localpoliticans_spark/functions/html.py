@@ -53,13 +53,55 @@ class _LinkCollector(HTMLParser):
         self.handle_starttag(tag, attrs)
 
 
+import re as _re
+
+# guarded regex fast path for link extraction — byte-identical to the
+# html.parser path by construction (differential-tested, incl. hypothesis):
+# it only applies to documents where every construct that could make
+# html.parser behave differently is PROVABLY absent, and declines to the
+# parser otherwise. Guards:
+#   - no '&' anywhere (convert_charrefs can never fire),
+#   - no '<' followed by uppercase/'!'/'?' (no declarations, comments, PIs,
+#     or case-folded tags),
+#   - script/style only as bare '<script>...</script>' / '<style>...</style>'
+#     rawtext spans, removed before scanning (html.parser's CDATA mode);
+#     any leftover open tag (attributes, unterminated, '</ script>' forms)
+#     declines,
+#   - every remaining '<a' anchor must be exactly '<a href="VALUE">' with
+#     VALUE free of '"<>' — any other attr order/quoting/spacing declines.
+_HTML_DECL_OR_UPPER_RE = _re.compile(r"<[A-Z!?]")
+_RAWTEXT_SPAN_RE = _re.compile(r"<(script|style)>.*?</\1\s*>", _re.DOTALL)
+_SIMPLE_ANCHOR_RE = _re.compile(r'<a href="([^"<>]*)">')
+_ANY_ANCHOR_RE = _re.compile(r"<a[\s>/]")
+
+
+def _extract_links_fast(html: str) -> list[str] | None:
+    """The fast form, or None when the document isn't provably simple."""
+    if "&" in html:
+        return None
+    if _HTML_DECL_OR_UPPER_RE.search(html):
+        return None
+    rem = _RAWTEXT_SPAN_RE.sub("", html)
+    if "<script" in rem or "<style" in rem:
+        return None
+    links = _SIMPLE_ANCHOR_RE.findall(rem)
+    if len(_ANY_ANCHOR_RE.findall(rem)) != len(links):
+        return None
+    return links
+
+
 def extract_links(html: str | bytes | None) -> list[str]:
     """All a[href] values in document order; broken HTML tolerated
-    (reference: src/main.rs:863-883)."""
+    (reference: src/main.rs:863-883). Simple documents take the guarded
+    regex fast path above; anything with declarations, charrefs, attribute
+    variance or rawtext subtleties takes the golden streaming parse."""
     if html is None:
         return []
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
+    fast = _extract_links_fast(html)
+    if fast is not None:
+        return fast
     collector = _LinkCollector()
     try:
         collector.feed(html)

@@ -114,6 +114,66 @@ def join_url(base: str, href: str) -> str | None:
     return canonicalize_url(joined)
 
 
+# ---------------------------------------------------------------------------
+# fast paths for the hot link pipeline (page_found_links): byte-identical to
+# join_url/canonicalize_url by construction, differential-tested (pytest +
+# hypothesis, tests/test_functions_urls.py). The slow urllib forms above stay
+# the GOLDEN definitions; these only skip the round trip when a conservative
+# recognizer proves the result verbatim.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# already-canonical recognizer: lowercase http(s), lowercase host (no port,
+# no userinfo), non-empty path whose chars quote() provably keeps (ALPHA /
+# DIGIT / '_.-~' plus _PATH_SAFE), no query/fragment. "/." excluded
+# conservatively (covers '/./', '/../', trailing '/.'— and harmlessly
+# declines '/.hidden', which the slow path handles).
+_CANONICAL_FAST_RE = _re.compile(
+    r"https?://[a-z0-9.-]+(/[A-Za-z0-9/%!$&'()*+,;=:@~._-]*)\Z"
+)
+# origin (scheme://host) of an already-canonical page URL
+_ORIGIN_RE = _re.compile(r"(https?://[a-z0-9.-]+)(?=/)")
+
+
+def is_canonical_fast(u: str) -> bool:
+    """True ONLY IF canonicalize_url(u) == u (conservative: may return False
+    for canonical inputs, never True for non-canonical ones)."""
+    m = _CANONICAL_FAST_RE.match(u)
+    return bool(m) and "/." not in m.group(1)
+
+
+def url_origin(url: str) -> str | None:
+    """scheme://host prefix of a canonical http(s) URL (None when the URL
+    isn't in canonical shape — callers fall back to the slow path)."""
+    m = _ORIGIN_RE.match(url or "")
+    return m.group(1) if m else None
+
+
+def join_url_fast(base: str, href_stripped: str, origin: str | None) -> str | None:
+    """join_url with two provable shortcuts (href must be pre-stripped):
+
+    - an absolute http(s) href that is already canonical IS the result
+      (urljoin returns an absolute href verbatim; canonicalize is identity);
+    - a root-relative href resolves as origin + href (RFC 3986 keeps the
+      base authority and replaces the path — urljoin(base, '/x?q') ==
+      scheme://netloc + '/x?q' exactly), canonicalized — skipping the
+      canonicalization too when the concatenation is already canonical.
+
+    Everything else (protocol-relative '//', dotted/relative paths, schemes,
+    empty hrefs) takes the golden slow path."""
+    if href_stripped.startswith(("http://", "https://")):
+        if is_canonical_fast(href_stripped):
+            return href_stripped
+        return join_url(base, href_stripped)
+    if origin is not None and href_stripped.startswith("/") and not href_stripped.startswith("//"):
+        candidate = origin + href_stripped
+        if is_canonical_fast(candidate):
+            return candidate
+        return canonicalize_url(candidate)
+    return join_url(base, href_stripped)
+
+
 def is_http_scheme(url: str) -> bool:
     """reference: src/main.rs:441-444."""
     return url.startswith("http://") or url.startswith("https://")

@@ -77,20 +77,33 @@ def page_found_links(
 
     `_cache` memoizes href resolution across a batch (udfs.found_links):
     absolute http(s) hrefs resolve independently of the base URL, so they
-    cache on the trimmed href alone; relative hrefs cache on (base, href).
-    Pure memoization — results are bit-identical with or without it.
-    """
+    cache on the trimmed href alone; root-relative hrefs depend only on the
+    base's ORIGIN (RFC 3986 keeps the authority, replaces the path), so they
+    cache on (origin, href) — the hot '/seite/0'-style links shared by every
+    page of a host hit the memo instead of re-resolving per page; all other
+    relative forms cache on (base, href). Resolution itself goes through
+    join_url_fast (urls.py): provable shortcuts with the golden urllib
+    join_url as fallback. Pure speedups — results are bit-identical with or
+    without cache or fast path (differential-tested)."""
+    from ..functions.urls import join_url_fast, url_origin
+
     out: list[str] = []
+    origin = url_origin(page_url)
     for href in extract_links(html):
+        h = href.strip()
         if _cache is not None:
-            h = href.strip()
-            key = h if h.startswith(("http://", "https://")) else (page_url, h)
+            if h.startswith(("http://", "https://")):
+                key: object = h
+            elif origin is not None and h.startswith("/") and not h.startswith("//"):
+                key = (origin, h)
+            else:
+                key = (page_url, h)
             resolved = _cache.get(key, 0)
             if resolved == 0:
-                resolved = join_url(page_url, h)
+                resolved = join_url_fast(page_url, h, origin)
                 _cache[key] = resolved
         else:
-            resolved = join_url(page_url, href)
+            resolved = join_url_fast(page_url, h, origin)
         if resolved is None or not is_http_scheme(resolved):
             continue
         out.append(resolved)

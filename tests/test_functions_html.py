@@ -149,3 +149,98 @@ def test_clean_and_extract_equals_contract_path_hypothesis(parts):
     cleaned, text = clean_and_extract(raw)
     assert cleaned == clean_html(raw)
     assert text == extract_text(cleaned)
+
+
+def test_extract_links_fast_path_differential_fixed():
+    """The guarded regex fast path must agree byte-for-byte with the golden
+    parser wherever it applies, and must DECLINE (None) on every construct
+    that could change parser behavior."""
+    from crawler_german_localpoliticans_spark.functions.html import (
+        _LinkCollector,
+        _extract_links_fast,
+        extract_links,
+    )
+
+    def parser_links(h):
+        c = _LinkCollector()
+        try:
+            c.feed(h)
+            c.close()
+        except Exception:
+            pass
+        return c.links
+
+    applies = [
+        '<html><body><a href="/x">a</a><a href="/y">b</a></body></html>',
+        '<a href="">empty</a>',
+        '<script>var x = "<a href=\'/hidden\'>";</script><a href="/vis">v</a>',
+        '<style>a { color: red }</style><a href="/s">s</a>',
+        'text only, no anchors',
+        '<a href="/a"><a href="/a">dup kept in doc order</a>',
+    ]
+    for h in applies:
+        fast = _extract_links_fast(h)
+        assert fast is not None, h
+        assert fast == parser_links(h), h
+
+    declines = [
+        '<a href="/x&amp;y">charref</a>',            # '&'
+        '<!-- <a href="/c"> --><a href="/v">v</a>',  # declaration
+        '<A HREF="/up">case</A>',                    # uppercase tag
+        "<a href='/sq'>single quotes</a>",           # quoting variant
+        '<a class="k" href="/attr">extra attr</a>',  # attr order/extra
+        '<a\nhref="/nl">newline in tag</a>',         # whitespace in tag
+        '<script src="x.js"></script><a href="/v">v</a>',  # script attrs
+        '<script>unterminated <a href="/in">',       # unterminated rawtext
+        '<a href="/x>broken quote',                  # '>' in value / broken
+        '<a>no href</a>',                            # anchor without href
+    ]
+    for h in declines:
+        assert _extract_links_fast(h) is None, h
+        # and the public function still returns the parser's answer
+        assert extract_links(h) == parser_links(h), h
+
+
+def test_extract_links_fast_path_differential_hypothesis():
+    """Randomized markup soup: wherever the fast path applies it equals the
+    parser; extract_links (the public function) always equals the parser."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_german_localpoliticans_spark.functions.html import (
+        _LinkCollector,
+        extract_links,
+    )
+
+    def parser_links(h):
+        c = _LinkCollector()
+        try:
+            c.feed(h)
+            c.close()
+        except Exception:
+            pass
+        return c.links
+
+    frag = st.one_of(
+        st.just('<a href="/x">'),
+        st.just('<a href="/y/z-1">t</a>'),
+        st.just("<script>var a=1;</script>"),
+        st.just("<style>.c{}</style>"),
+        st.just("<p>text</p>"),
+        st.just("&amp;"),
+        st.just("<!-- c -->"),
+        st.just('<a href="/q?x=1">'),
+        st.just("<A HREF='/U'>"),
+        st.just("</a>"),
+        st.just("<a>"),
+        st.just("<script>"),
+        st.text(alphabet="ab<>/\"'&= \n", max_size=12),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(frag, max_size=8))
+    def run(frags):
+        h = "".join(frags)
+        assert extract_links(h) == parser_links(h), repr(h)
+
+    run()

@@ -179,3 +179,87 @@ def test_normalize_url_ingest_port_zero_quirk():
     assert n == "http://a.de/x"  # same key as the portless URL
     assert p["port"] == 0
     assert normalize_url_ingest("http://a.de/x")[0] == n
+
+
+# ------------------------------------------------------- link fast paths
+
+
+def test_join_url_fast_differential_fixed_cases():
+    """join_url_fast must be byte-identical to the golden join_url on every
+    href shape: absolute (canonical and messy), root-relative (plain, query,
+    fragment, dot segments, encoded, '//' protocol-relative), relative,
+    empty, schemes."""
+    from crawler_german_localpoliticans_spark.functions.urls import (
+        canonicalize_url,
+        is_canonical_fast,
+        join_url,
+        join_url_fast,
+        url_origin,
+    )
+
+    bases = [
+        "https://host0001.beispiel.de/seite/12",
+        "http://a.de/x/y?q=1",
+        "https://a.de/",
+    ]
+    hrefs = [
+        "/seite/0", "/seite/7-rathaus", "/a/b/c", "/", "/x?y=1", "/x#frag",
+        "/a/../b", "/a/./b", "/.hidden", "//other.de/x", "/x%20y", "/x y",
+        "/UPPER/Case", "/tilde~ok", "/semi;colon",
+        "https://b.de/abs", "HTTP://B.DE/Abs", "https://b.de:443/abs",
+        "relative/path", "../up", "?just-query", "#just-frag", "",
+        "mailto:x@y.de", "javascript:void(0)", "  /spaced  ",
+        "/seite/0\n",
+    ]
+    for base in bases:
+        origin = url_origin(base)
+        for href in hrefs:
+            h = href.strip()
+            assert join_url_fast(base, h, origin) == join_url(base, h), (base, href)
+
+    # is_canonical_fast never lies: True implies identity under canonicalize
+    for u in [
+        "https://a.de/x", "http://h.de/seite/0", "https://a.de/a//b",
+        "https://a.de/x%20y", "http://a.de/x?q", "https://A.de/x",
+        "https://a.de", "https://a.de/./x", "https://a.de/x#f",
+    ]:
+        if is_canonical_fast(u):
+            assert canonicalize_url(u) == u, u
+
+
+def test_join_url_fast_differential_hypothesis():
+    """Randomized differential: for arbitrary (base, href) built from a URL-ish
+    alphabet, the fast join equals the golden join byte-for-byte."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_german_localpoliticans_spark.functions.urls import (
+        join_url,
+        join_url_fast,
+        url_origin,
+    )
+
+    alphabet = "abzAZ09./:?#%&=_-~!$'()*+,;@ \t\xe4 "
+    href_st = st.text(alphabet=alphabet, max_size=24)
+    base_st = st.one_of(
+        st.just("https://host1.beispiel.de/seite/3"),
+        st.builds(lambda p: "http://a.de/" + p, st.text(alphabet="ab0/.-", max_size=10)),
+        st.text(alphabet=alphabet, max_size=20),  # garbage bases too
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(base=base_st, href=href_st)
+    def run(base, href):
+        h = href.strip()
+        origin = url_origin(base)
+        try:
+            slow = join_url(base, h)
+        except Exception as e:  # pragma: no cover - golden path raised
+            slow = ("raised", type(e).__name__)
+        try:
+            fast = join_url_fast(base, h, origin)
+        except Exception as e:
+            fast = ("raised", type(e).__name__)
+        assert fast == slow, (base, href)
+
+    run()

@@ -70,9 +70,41 @@ import re as _re
 #   - every remaining '<a' anchor must be exactly '<a href="VALUE">' with
 #     VALUE free of '"<>' — any other attr order/quoting/spacing declines.
 _HTML_DECL_OR_UPPER_RE = _re.compile(r"<[A-Z!?]")
-_RAWTEXT_SPAN_RE = _re.compile(r"<(script|style)>.*?</\1\s*>", _re.DOTALL)
+_RAWTEXT_SPAN_RE = _re.compile(r"<(script|style)>(.*?)</\1>", _re.DOTALL)
 _SIMPLE_ANCHOR_RE = _re.compile(r'<a href="([^"<>]*)">')
 _ANY_ANCHOR_RE = _re.compile(r"<a[\s>/]")
+
+
+def _strip_rawtext_spans(html: str) -> tuple[str, str] | None:
+    r"""Split out bare '<script>…</script>' / '<style>…</style>' spans,
+    PROVABLY matching html.parser's CDATA behavior, or None:
+
+    - the parser leaves CDATA at the first '</\s*elem' match
+      (case-insensitive, whitespace allowed), so span contents must contain
+      no '</' at all — then our case-sensitive terminator IS the parser's;
+    - after splitting, no '<script'/'<style' may remain (attributed,
+      unterminated or otherwise exotic forms decline).
+
+    Returns (minus_script, minus_both): clean_html keeps style spans
+    verbatim (only script subtrees are dropped); text/link scans exclude
+    both rawtext contents."""
+    minus_script: list[str] = []
+    minus_both: list[str] = []
+    pos = 0
+    for m in _RAWTEXT_SPAN_RE.finditer(html):
+        if "</" in m.group(2):
+            return None
+        minus_script.append(html[pos : m.start()])
+        minus_both.append(html[pos : m.start()])
+        if m.group(1) == "style":
+            minus_script.append(m.group(0))
+        pos = m.end()
+    minus_script.append(html[pos:])
+    minus_both.append(html[pos:])
+    scan = "".join(minus_both)
+    if "<script" in scan or "<style" in scan:
+        return None
+    return "".join(minus_script), scan
 
 
 def _extract_links_fast(html: str) -> list[str] | None:
@@ -81,9 +113,10 @@ def _extract_links_fast(html: str) -> list[str] | None:
         return None
     if _HTML_DECL_OR_UPPER_RE.search(html):
         return None
-    rem = _RAWTEXT_SPAN_RE.sub("", html)
-    if "<script" in rem or "<style" in rem:
+    stripped = _strip_rawtext_spans(html)
+    if stripped is None:
         return None
+    _, rem = stripped
     links = _SIMPLE_ANCHOR_RE.findall(rem)
     if len(_ANY_ANCHOR_RE.findall(rem)) != len(links):
         return None
@@ -352,16 +385,82 @@ def _dom_text(node: object, chunks: list[str]) -> None:
         chunks.append(" ")
 
 
+# ---------------------------------------------------------------------------
+# zero-parse token-scan fast path for clean_and_extract — byte-identical by
+# construction on PROVABLY-simple documents, declining to the DOM path on
+# anything else (differential-tested: fixtures + hypothesis markup soup +
+# the byte-identity crawl oracles). For a document to qualify, the golden
+# serializer must be the identity on everything outside dropped <script>
+# subtrees, which these guards guarantee:
+#   - no '&' (entity decoding identity in both serializer and text),
+#   - script/style only as bare '<script>…</script>' / '<style>…</style>'
+#     spans (html.parser's CDATA behavior == literal span),
+#   - every other tag is exactly '<tag>' / '</tag>' /
+#     '<tag attr="v" …>' — lowercase names, single-space single-double-quote
+#     attrs with values free of '"&<>' (escape() identity), no void
+#     elements, no self-closing, no declarations/comments/PIs,
+#   - end tags match the open stack exactly and everything closes before
+#     EOF (parser recovery — stray-close dropping, implicit EOF closes —
+#     never fires, so serialization preserves source bytes).
+# clean = source minus script spans (string splice); text = text chunks +
+# block-boundary spaces, style spans skipped — _TextCollector's exact rules.
+_SIMPLE_TAG_RE = _re.compile(
+    r"<(/?)([a-z][a-z0-9]*)((?: [a-z-]+=\"[^\"&<>]*\")*)>"
+)
+
+
+def _clean_extract_fast(html: str) -> tuple[str, str] | None:
+    """(clean, text) for provably-simple documents, else None."""
+    if "&" in html:
+        return None
+    stripped = _strip_rawtext_spans(html)
+    if stripped is None:
+        return None
+    cleaned, scan = stripped
+    chunks: list[str] = []
+    stack: list[str] = []
+    i = 0
+    n = len(scan)
+    while i < n:
+        lt = scan.find("<", i)
+        if lt < 0:
+            chunks.append(scan[i:])
+            break
+        chunks.append(scan[i:lt])
+        m = _SIMPLE_TAG_RE.match(scan, lt)
+        if m is None:
+            return None  # anything the strict token grammar doesn't cover
+        closing, tag, attrs = m.group(1), m.group(2), m.group(3)
+        if tag in VOID_ELEMENTS or tag in RAWTEXT_ELEMENTS:
+            return None  # voids re-serialize as '<x/>'; rawtext handled above
+        if closing:
+            if attrs or not stack or stack[-1] != tag:
+                return None  # parser recovery would fire
+            stack.pop()
+        else:
+            stack.append(tag)
+        if tag in BLOCK_ELEMENTS:
+            chunks.append(" ")
+        i = m.end()
+    if stack:
+        return None  # implicit EOF closes would add bytes
+    return cleaned, " ".join("".join(chunks).split())
+
+
 def clean_and_extract(html: str | bytes | None) -> tuple[str, str]:
-    """(clean_html, extract_text-of-clean) with ONE parse: build the DOM,
+    """(clean_html, extract_text-of-clean). Provably-simple documents take
+    the zero-parse token scan above; everything else builds the DOM ONCE:
     drop <script> subtrees, serialize (the clean_html bytes), and take the
     visible text from the same DOM instead of re-parsing the serialized
-    string — 2x on the extraction hot path, byte-identical output
-    (differential test vs the two-parse contract path)."""
+    string — byte-identical output either way (differential tests vs the
+    two-parse contract path)."""
     if html is None:
         return "", ""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
+    fast = _clean_extract_fast(html)
+    if fast is not None:
+        return fast
     try:
         root = _parse(html)
         _drop_tag(root, "script")

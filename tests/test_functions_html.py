@@ -244,3 +244,92 @@ def test_extract_links_fast_path_differential_hypothesis():
         assert extract_links(h) == parser_links(h), repr(h)
 
     run()
+
+
+def test_clean_extract_fast_path_differential_fixed():
+    """The token-scan fast path must be byte-identical to the DOM contract
+    path wherever it applies, and decline on every construct where parser
+    recovery or serialization normalization could change bytes."""
+    from crawler_german_localpoliticans_spark.functions.html import (
+        _clean_extract_fast,
+        clean_and_extract,
+        clean_html,
+        extract_text,
+    )
+
+    applies = [
+        '<html><head><title>Seite 3</title><script>var x = 3;</script></head>'
+        '<body><h1>Dokument</h1><p>wort eins zwei</p><a href="/seite/1">l</a></body></html>',
+        "<p>nur text</p>",
+        "plain text, no markup",
+        '<div><style>.c { color: red }</style><p>after style</p></div>',
+        '<p>a</p><p>b</p>',
+        '<span>inline</span><b>glue</b>',
+    ]
+    for h in applies:
+        fast = _clean_extract_fast(h)
+        assert fast is not None, h
+        expected_clean = clean_html(h)
+        assert fast[0] == expected_clean, h
+        assert fast[1] == extract_text(expected_clean), h
+
+    declines = [
+        "<p>a &amp; b</p>",                      # charref
+        "<P>upper</P>",                          # case normalization
+        "<p>unclosed",                           # implicit EOF close
+        "</p>stray close",                       # parser drops it
+        "<p><b>cross</p></b>",                   # recovery pops differently
+        '<br>',                                  # void reserializes as <br/>
+        '<p  class="x">two spaces</p>',          # attr spacing normalization
+        "<p class='sq'>single quotes</p>",       # quote normalization
+        "<!-- comment --><p>x</p>",              # declaration/comment
+        '<script src="x"></script>',             # attributed rawtext
+        "<script>if (a</b) {}</script>",         # '</' inside rawtext content
+        "<p>a < b</p>",                          # literal '<' in text
+    ]
+    for h in declines:
+        assert _clean_extract_fast(h) is None, h
+        # public function still equals the golden contract
+        c, t = clean_and_extract(h)
+        assert c == clean_html(h), h
+        assert t == extract_text(clean_html(h)), h
+
+
+def test_clean_extract_fast_path_differential_hypothesis():
+    """Randomized markup soup: clean_and_extract (public, fast path inside)
+    always equals the two-parse golden contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_german_localpoliticans_spark.functions.html import (
+        clean_and_extract,
+        clean_html,
+        extract_text,
+    )
+
+    frag = st.one_of(
+        st.just("<p>wort</p>"),
+        st.just("<div>"),
+        st.just("</div>"),
+        st.just('<a href="/x">l</a>'),
+        st.just("<script>var x = 1;</script>"),
+        st.just("<style>.c{}</style>"),
+        st.just("<script>bad </ inside</script>"),
+        st.just("&amp;"),
+        st.just("<br>"),
+        st.just("<B>U</B>"),
+        st.just("text stück "),
+        st.just("<!-- c -->"),
+        st.text(alphabet="ab<>/\"'&= \n", max_size=10),
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.lists(frag, max_size=7))
+    def run(frags):
+        h = "".join(frags)
+        c, t = clean_and_extract(h)
+        expected_clean = clean_html(h)
+        assert c == expected_clean, repr(h)
+        assert t == extract_text(expected_clean), repr(h)
+
+    run()

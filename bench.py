@@ -10,6 +10,13 @@ Headline metrics mirror BASELINE.json: frontier URLs scheduled+deduped/sec
 link extraction -> candidate dedup) and pages extracted/sec (clean_html +
 text extraction pandas UDFs over every page). Scaling evidence across two
 parallelism levels is produced by scripts/bench_scaling.py -> BENCH/BASELINE.md.
+
+Every timed section reports the min of BENCH_RUNS (default 2) runs — the
+same pinned min-of-N methodology as scripts/bench_scaling.py (see
+BENCH/BASELINE.md "Variance"): run 1 absorbs JIT/codegen of the plan shapes
+and this host's steal-time spikes; a production crawl is a long-lived job
+where those amortize to zero. Set BENCH_RUNS=1 for the old single-shot
+behavior.
 """
 
 from __future__ import annotations
@@ -20,6 +27,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+BENCH_RUNS = max(1, int(os.environ.get("BENCH_RUNS", "2")))
 
 
 def build_spark(cpus: int):
@@ -52,17 +62,25 @@ def bench_crawl(spark, sf_dir: str) -> dict:
     from crawler_german_localpoliticans_spark.sources.webcorpus import corpus_from_documents
 
     pages, seeds, robots = corpus_from_documents(spark, sf_dir)
-    work_dir = tempfile.mkdtemp(prefix="bench_crawl_")
-    pages_path = f"{work_dir}/pages_input"
+    base_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    pages_path = f"{base_dir}/pages_input"
     pages.write.mode("overwrite").parquet(pages_path)
     config = CrawlConfig(max_depth=2, shuffle_partitions=32, seen_partitions=32)
-    driver = CrawlDriver(spark, f"{work_dir}/state", pages_path, robots, config)
 
-    t0 = time.monotonic()
-    tables = driver.run(seeds)
-    # force full materialization
-    n_fetched = tables.fetched.count()
-    wall = time.monotonic() - t0
+    wall = None
+    for run in range(BENCH_RUNS):
+        # fresh state dir AND cleared cache per run — each run is a complete
+        # cold crawl (Spark's CacheManager would otherwise rewrite run 2's
+        # identical plans onto run 1's cached relations); only JVM/worker
+        # warmup carries over, which is the point of min-of-N
+        spark.catalog.clearCache()
+        driver = CrawlDriver(spark, f"{base_dir}/state_{run}", pages_path, robots, config)
+        t0 = time.monotonic()
+        tables = driver.run(seeds)
+        # force full materialization
+        n_fetched = tables.fetched.count()
+        w = time.monotonic() - t0
+        wall = w if wall is None else min(wall, w)
     scheduled = sum(m.get("scheduled", 0) for m in tables.metrics)
     candidates = sum(m.get("candidates", 0) for m in tables.metrics)
     return {
@@ -84,12 +102,15 @@ def bench_extraction(spark, sf_dir: str) -> dict:
 
     pages, _, _ = corpus_from_documents(spark, sf_dir)
     pages = pages.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    t0 = time.monotonic()
-    out = pages.select("url", udfs.clean_extract(F.col("html")).alias("ce")).select(
-        "url", F.col("ce.text").alias("text")
-    )
-    n = out.where(F.length("text") > 0).count()
-    wall = time.monotonic() - t0
+    wall = None
+    for _ in range(BENCH_RUNS):
+        t0 = time.monotonic()
+        out = pages.select("url", udfs.clean_extract(F.col("html")).alias("ce")).select(
+            "url", F.col("ce.text").alias("text")
+        )
+        n = out.where(F.length("text") > 0).count()
+        w = time.monotonic() - t0
+        wall = w if wall is None else min(wall, w)
     return {"sec": wall, "pages": n, "pages_per_sec": n / wall if wall > 0 else 0.0}
 
 
@@ -113,28 +134,32 @@ def bench_pipeline_throughput(spark, sf_dir: str, replicas: int = 20) -> dict:
     )
     n_pages = pages.count()
 
-    t0 = time.monotonic()
-    links = pages.select(
-        F.col("url"), udfs.found_links(F.col("url"), F.col("html")).alias("fl")
-    )
-    cand = links.select(
-        F.xxhash64("url").alias("parent"), F.posexplode("fl").alias("pos", "child")
-    )
-    row = (
-        cand.groupBy("child")
-        .agg(F.min(F.struct("parent", "pos")).alias("f"), F.count(F.lit(1)).alias("n"))
-        .agg(F.count(F.lit(1)).alias("d"), F.sum("n").alias("c"))
-        .collect()[0]
-    )
-    frontier_sec = time.monotonic() - t0
+    frontier_sec = extract_sec = None
+    for _ in range(BENCH_RUNS):
+        t0 = time.monotonic()
+        links = pages.select(
+            F.col("url"), udfs.found_links(F.col("url"), F.col("html")).alias("fl")
+        )
+        cand = links.select(
+            F.xxhash64("url").alias("parent"), F.posexplode("fl").alias("pos", "child")
+        )
+        row = (
+            cand.groupBy("child")
+            .agg(F.min(F.struct("parent", "pos")).alias("f"), F.count(F.lit(1)).alias("n"))
+            .agg(F.count(F.lit(1)).alias("d"), F.sum("n").alias("c"))
+            .collect()[0]
+        )
+        w = time.monotonic() - t0
+        frontier_sec = w if frontier_sec is None else min(frontier_sec, w)
 
-    t0 = time.monotonic()
-    n_ext = (
-        pages.select(udfs.clean_extract(F.col("html")).alias("ce"))
-        .where(F.length("ce.text") > 0)
-        .count()
-    )
-    extract_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        n_ext = (
+            pages.select(udfs.clean_extract(F.col("html")).alias("ce"))
+            .where(F.length("ce.text") > 0)
+            .count()
+        )
+        w = time.monotonic() - t0
+        extract_sec = w if extract_sec is None else min(extract_sec, w)
     pages.unpersist()
     n_cand = int(row["c"])
     return {
@@ -147,10 +172,17 @@ def bench_pipeline_throughput(spark, sf_dir: str, replicas: int = 20) -> dict:
 
 
 def bench_query(spark, sf_dir: str, fn) -> float:
-    t0 = time.monotonic()
-    df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.monotonic() - t0
+    wall = None
+    for _ in range(BENCH_RUNS):
+        # cold data every run (operators with internal persists — e.g. the
+        # minhash signature table — must rebuild, not re-read run 1's cache)
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        w = time.monotonic() - t0
+        wall = w if wall is None else min(wall, w)
+    return wall
 
 
 def main() -> None:

@@ -150,7 +150,11 @@ _SIMPLE_ANCHOR_CAPTURE_RE = '<a href="([^"<>]*)">'
 # is_canonical_fast (urls.py): lowercase http(s), bare lowercase host,
 # non-empty path over quote()'s identity charset; '/.'-freedom checked
 # separately. The same path charset serves the root-relative form.
-_CANON_PATH_CHARS = "[A-Za-z0-9/%!$&'()*+,;=:@~._-]*"
+# NOTE: no ';' — urljoin routes through urlparse, whose params split drops
+# a trailing ';' ('/a;' -> '/a'), so concat-resolution would diverge from
+# the golden join for such hrefs (they decline to the pandas path, whose
+# join_url_fast declines them to urllib for the same reason)
+_CANON_PATH_CHARS = "[A-Za-z0-9/%!$&'()*+,=:@~._-]*"
 _ORIGIN_CAPTURE_RE = "^(https?://[a-z0-9.-]+)/"
 
 

@@ -161,7 +161,13 @@ def join_url_fast(base: str, href_stripped: str, origin: str | None) -> str | No
       canonicalization too when the concatenation is already canonical.
 
     Everything else (protocol-relative '//', dotted/relative paths, schemes,
-    empty hrefs) takes the golden slow path."""
+    empty hrefs) takes the golden slow path — as does any href containing
+    ';': urljoin goes through urlparse, whose params split DROPS a
+    trailing ';' with empty params ('/a;' -> '/a'), so neither "verbatim"
+    nor "concat" holds for those (found by hypothesis, pinned in
+    tests/test_functions_urls.py)."""
+    if ";" in href_stripped:
+        return join_url(base, href_stripped)
     if href_stripped.startswith(("http://", "https://")):
         if is_canonical_fast(href_stripped):
             return href_stripped

@@ -47,6 +47,8 @@ EDGE_ROWS = [
     ("https://a.de/p/", '<a href=" /x">leading space</a>'),
     ("https://a.de/p/", 'über <a href="/x">unicode text ok</a>'),
     ("https://a.de/p/", '<a href="/x\x00y">nul in href</a>'),
+    ("https://a.de/p/", '<a href="/a;">semicolon href declines</a>'),
+    ("https://a.de/p/", '<a href="https://b.de/;">abs semicolon declines</a>'),
     ("https://a.de/p/", "<script>x<</script><a href=\"/x\">span ends with lt</a>"),
     ("https://a.de/p/", "<script>if (x<Y) {}</script><a href=\"/x\">upper in span</a>"),
     ("https://a.de/p/", "<style><a href=\"/hidden\"></style><a href=\"/x\">anchor in span</a>"),

@@ -206,6 +206,9 @@ def test_join_url_fast_differential_fixed_cases():
         "/seite/0", "/seite/7-rathaus", "/a/b/c", "/", "/x?y=1", "/x#frag",
         "/a/../b", "/a/./b", "/.hidden", "//other.de/x", "/x%20y", "/x y",
         "/UPPER/Case", "/tilde~ok", "/semi;colon",
+        # urlparse's params split drops a trailing ';' with empty params —
+        # these MUST take the slow path (hypothesis-found regression)
+        "/;", "/a;", "/a;b", "/x/y;", "https://b.de/;", "https://b.de/a;",
         "https://b.de/abs", "HTTP://B.DE/Abs", "https://b.de:443/abs",
         "relative/path", "../up", "?just-query", "#just-frag", "",
         "mailto:x@y.de", "javascript:void(0)", "  /spaced  ",

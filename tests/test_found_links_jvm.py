@@ -130,6 +130,36 @@ def test_with_found_links_corpus_takes_jvm_branch(spark, monkeypatch):
     assert out.where(F.size("fl") > 0).count() == n
 
 
+def test_with_found_links_markup_soup_differential(spark):
+    """Seeded random markup soup (fragment shuffle, one Spark job): the
+    hybrid must agree with the pandas pipeline on every document, whichever
+    branch each takes."""
+    import random
+
+    frags = [
+        "<p>wort</p>", "<div>", "</div>", '<a href="/x">l</a>',
+        '<a href="/seite/9-rathaus">r</a>', '<a href="https://b.de/y">m</a>',
+        "<script>var x = 1;</script>", "<style>.c{}</style>",
+        "<script>bad </ inside</script>", "&amp;", "<br>", "<B>U</B>",
+        "text stück ", "<!-- c -->", '<a href="../up">u</a>',
+        '<a href="//p.de/z">p</a>', '<a href="/a;">semi</a>',
+        '<a href="">e</a>', "<a", " < b ", 'href="/nope"',
+        '<a href="/x?q=1">q</a>', '<a href="/x#f">f</a>', "\xa0", "\t\n",
+    ]
+    rng = random.Random(42)
+    docs = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 8)))
+        for _ in range(300)
+    ]
+    rows = [(f"https://host{i % 7}.beispiel.de/seite/{i}", d.encode()) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = udfs.with_found_links(df, "url", "html", "jvm").withColumn(
+        "py", udfs.found_links(F.col("url"), F.col("html"))
+    )
+    bad = out.where(~F.col("jvm").eqNullSafe(F.col("py"))).collect()
+    assert bad == [], [(bytes(r.html), r.jvm, r.py) for r in bad[:5]]
+
+
 def test_with_found_links_plan_single_evaluation(spark):
     """The optimized plan must evaluate each heavy pass exactly once: one
     decode, one extract_all, and the python UDF must receive the null-html

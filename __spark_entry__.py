@@ -123,6 +123,24 @@ def _q_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.url_seen.select("url")
 
 
+def _q_found_links_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALTERNATIVE JVM link engine (udfs.with_found_links — codegen
+    grammar-regex fast path with pandas fallback; see its docstring) over
+    the full derived corpus, exploded to (url, link) pairs, against the SQL
+    edge derivation. Gives the alternative engine its own oracle row: the
+    corpus pages are all provably-simple, so this hash-checks the JVM
+    branch itself, not the fallback (pinned by
+    tests/test_found_links_jvm.py's sabotaged-fallback test)."""
+    from crawler_german_localpoliticans_spark.functions.udfs import with_found_links
+    from crawler_german_localpoliticans_spark.sources.webcorpus import (
+        corpus_from_documents,
+    )
+
+    pages, _, _ = corpus_from_documents(spark, sf_dir)
+    out = with_found_links(pages, "url", "html", "fl")
+    return out.select("url", F.explode("fl").alias("link"))
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_german_localpoliticans_spark.operators.dedup import exact_dedup
 
@@ -770,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_reachability": _q_crawl_reachability,
         "crawl_extracted": _q_crawl_extracted,
         "url_seen": _q_url_seen,
+        "found_links_jvm": _q_found_links_jvm,
         "exact_dedup": _q_exact_dedup,
         "minhash_neardup": _q_minhash_neardup,
         "minhash_planted": _q_minhash_planted,
@@ -1404,6 +1423,19 @@ def oracle_sql() -> dict[str, str]:
                 UNION SELECT doc FROM l2
             ) f
             JOIN node n ON n.doc = f.doc
+        """,
+        # The per-page link pipeline under the alternative JVM engine:
+        # (url, link) pairs == the DISTINCT corpus edges (the engine's
+        # sorted-unique dedup ≡ DISTINCT; sortedness is absorbed by the
+        # order-insensitive row hash).
+        "found_links_jvm": f"""
+            WITH {_CORPUS_PARAMS_CTE},
+            {_CORPUS_NODE_CTE},
+            {_CORPUS_EDGE_CTE}
+            SELECT s.url AS url, t.url AS link
+            FROM edge e
+            JOIN node s ON s.doc = e.src
+            JOIN node t ON t.doc = e.tgt
         """,
         # Membership/flags view of the same crawl (kept alongside crawl_bfs:
         # this one checks reachability independently of the order logic).

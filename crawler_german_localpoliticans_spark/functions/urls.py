@@ -86,6 +86,17 @@ def canonicalize_url(raw: str, *, keep_fragment: bool = False) -> str | None:
     if parts.netloc:
         if host is None:
             return None
+        # Forbidden-host guard (WHATWG "forbidden host code point" subset;
+        # the Rust `url` crate rejects these at parse, so the reference
+        # drops such links): whitespace or control characters inside a
+        # hostname. Besides spec fidelity this is what makes the canonical
+        # form a FIXED POINT — a host ending in strippable whitespace with
+        # an empty path would put that whitespace at the END of the output
+        # string, where a second canonicalize's entry strip() would eat it
+        # (50k-example fuzz find, scripts/fuzz_urls.py P3; pinned in
+        # tests/test_functions_urls.py).
+        if any(c.isspace() or ord(c) < 0x21 or ord(c) == 0x7F for c in host):
+            return None
         netloc = host.lower()
         if port is not None and port != _DEFAULT_PORTS.get(scheme):
             netloc = f"{netloc}:{port}"
@@ -103,6 +114,31 @@ def join_url(base: str, href: str) -> str | None:
 
     Mirrors `current_url.join(href.trim())` + `normalize_url`
     (reference: src/main.rs:899-905).
+
+    CONTRACT QUIRK (pinned in tests/test_functions_urls.py::
+    test_join_url_golden_contract_quirks_vs_whatwg): the golden contract is
+    urllib's RFC 3986 resolution, NOT the WHATWG URL Standard the Rust
+    `url` crate implements. They agree on every href class observed in real
+    markup (absolute, protocol-relative with a host, root-relative,
+    relative, dot segments, query/fragment) but diverge on three
+    structurally-degenerate classes:
+
+    - all-slash network-path refs: `'//'` → urllib returns the BASE (we
+      emit it); the `url` crate raises EmptyHost → the reference DROPS the
+      link (src/main.rs:900-903);
+    - extra-slash authority: `'///x'` → urllib keeps the base authority
+      (`https://base-host/x`); WHATWG ignores repeated slashes and reads
+      `x` as the HOST (`https://x/`);
+    - backslashes: WHATWG treats `'\\'` like `'/'` for special schemes
+      (`'\\a'` resolves root-relative); urllib treats it as a path
+      character (percent-encoded into the current directory).
+
+    We keep urllib as golden because every driver oracle, dedup hash and
+    ordering key already derives from it, the divergent classes do not
+    occur in the corpus or in well-formed markup, and a partial WHATWG
+    emulation would risk silent divergence in less degenerate cases. This
+    is a documented deviation, in the same spirit as the robots crawl-delay
+    saturating-cast quirk (functions/robots.py).
     """
     if href is None:
         return None
@@ -135,6 +171,18 @@ _CANONICAL_FAST_RE = _re.compile(
 # origin (scheme://host) of an already-canonical page URL
 _ORIGIN_RE = _re.compile(r"(https?://[a-z0-9.-]+)(?=/)")
 
+# href characters that change meaning somewhere inside urllib's resolution
+# round trip — any match declines join_url_fast to the golden slow path:
+#   ';'        urlparse's params split drops a trailing ';' ('/a;' -> '/a')
+#   \s         (unicode-wide) urlsplit strips \t/\n/\r anywhere BEFORE
+#              classifying; any OTHER whitespace becomes string-trailing when
+#              urljoin drops an empty '?'/'#' marker ('/x\f#' joins to
+#              '.../x\f', whose trailing \f canonicalize's entry strip()
+#              eats — the concat fast path still sees the '#' and keeps it;
+#              50k-fuzz find, scripts/fuzz_urls.py P1)
+#   C0 / DEL   remaining control chars, same stripping hazards
+_UNSAFE_HREF_RE = _re.compile(r"[;\s\x00-\x20\x7f]")
+
 
 def is_canonical_fast(u: str) -> bool:
     """True ONLY IF canonicalize_url(u) == u (conservative: may return False
@@ -161,12 +209,28 @@ def join_url_fast(base: str, href_stripped: str, origin: str | None) -> str | No
       canonicalization too when the concatenation is already canonical.
 
     Everything else (protocol-relative '//', dotted/relative paths, schemes,
-    empty hrefs) takes the golden slow path — as does any href containing
-    ';': urljoin goes through urlparse, whose params split DROPS a
-    trailing ';' with empty params ('/a;' -> '/a'), so neither "verbatim"
-    nor "concat" holds for those (found by hypothesis, pinned in
-    tests/test_functions_urls.py)."""
-    if ";" in href_stripped:
+    empty hrefs) takes the golden slow path — as does any href containing a
+    character urllib treats non-literally somewhere in its round trip
+    (see _UNSAFE_HREF_RE above; all three classes were found by the
+    hypothesis differential / the 50k-example fuzz in scripts/fuzz_urls.py
+    and are pinned in tests/test_functions_urls.py):
+
+    - ';' anywhere: urlparse's params split DROPS a trailing ';' with empty
+      params ('/a;' -> '/a');
+    - '\\t'/'\\n'/'\\r' anywhere: urlsplit strips them BEFORE classifying
+      (bpo-43882, matching WHATWG), so '/\\t/' is the scheme-relative '//'
+      to the golden path while raw-string classification would call it
+      root-relative and emit origin + '//';
+    - any other whitespace or C0/DEL control: urljoin drops an empty
+      trailing '?'/'#', which can expose the whitespace to canonicalize's
+      entry strip() on the golden path only ('/x\\f#' -> golden '.../',
+      fast '.../%0C').
+
+    str.strip() pre-stripping only removes these at the ENDS, so interior
+    occurrences survive to this check. Real-markup hot hrefs contain none
+    of them, and the per-batch memo makes the slow path near-free, so the
+    conservative decline costs nothing measurable."""
+    if _UNSAFE_HREF_RE.search(href_stripped) is not None:
         return join_url(base, href_stripped)
     if href_stripped.startswith(("http://", "https://")):
         if is_canonical_fast(href_stripped):

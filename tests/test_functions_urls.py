@@ -209,6 +209,17 @@ def test_join_url_fast_differential_fixed_cases():
         # urlparse's params split drops a trailing ';' with empty params —
         # these MUST take the slow path (hypothesis-found regression)
         "/;", "/a;", "/a;b", "/x/y;", "https://b.de/;", "https://b.de/a;",
+        # urlsplit strips interior \t/\n/\r BEFORE classifying (bpo-43882):
+        # '/\t/' is scheme-relative '//' to urllib, not root-relative —
+        # these MUST take the slow path (hypothesis-found at r3 judging)
+        "/\t/", "/\ta", "/a\tb", "/\n/", "/a\rb", "//\t/", "/\t\t/",
+        "https://b.de/a\tb", "ht\ttps://b.de/x", "/seite\t/3",
+        # urljoin drops an EMPTY trailing '?'/'#', exposing preceding
+        # whitespace to canonicalize's entry strip() on the golden path
+        # only — whitespace/control hrefs MUST take the slow path
+        # (50k-fuzz find, scripts/fuzz_urls.py P1)
+        "/\x0c#", "/!\xa0?", "/\\ #", "/a\x0b?", "/a #", "/a　#",
+        "https://b.de/x\x0c#", "/x\x7fy",
         "https://b.de/abs", "HTTP://B.DE/Abs", "https://b.de:443/abs",
         "relative/path", "../up", "?just-query", "#just-frag", "",
         "mailto:x@y.de", "javascript:void(0)", "  /spaced  ",
@@ -266,3 +277,65 @@ def test_join_url_fast_differential_hypothesis():
         assert fast == slow, (base, href)
 
     run()
+
+
+def test_join_url_golden_contract_quirks_vs_whatwg():
+    """Pin the documented golden-contract choice (urls.py join_url docstring):
+    the golden resolution is urllib's RFC 3986, which diverges from the
+    WHATWG URL Standard (the Rust `url` crate, reference src/main.rs:900-903)
+    on three structurally-degenerate href classes. This test pins OUR
+    behavior on each class so any silent drift is caught; the WHATWG-side
+    behavior is recorded in the comments.
+    """
+    from crawler_german_localpoliticans_spark.functions.urls import join_url
+
+    base = "https://host1.beispiel.de/seite/3"
+
+    # 1. all-slash network-path refs: urllib resolves to the base (we emit
+    #    it); the url crate raises EmptyHost and the reference drops the link.
+    assert join_url(base, "//") == base
+    assert join_url(base, "/\t/") == base        # urlsplit strips \t first
+    assert join_url(base, "//\t") == base
+    # query/fragment survive on the empty-authority form
+    assert join_url(base, "//?q") == base + "?q"
+
+    # 2. extra-slash authority: urllib keeps the base authority; WHATWG
+    #    would ignore the repeated slashes and read 'x' as the host
+    #    ('https://x/').
+    assert join_url(base, "///x") == "https://host1.beispiel.de/x"
+
+    # 3. backslash: urllib treats '\' as a path character (percent-encoded,
+    #    relative to the current directory); WHATWG treats it like '/' for
+    #    special schemes ('\\a' would resolve root-relative to
+    #    'https://host1.beispiel.de/a').
+    assert join_url(base, "\\a") == "https://host1.beispiel.de/seite/%5Ca"
+
+
+def test_canonicalize_rejects_whitespace_control_hosts_and_is_idempotent():
+    """Forbidden-host guard (urls.py canonicalize_url): hostnames containing
+    whitespace or control characters are rejected (None), matching the url
+    crate's forbidden-host-code-point parse errors — and making the
+    canonical form a fixed point (a host ending in strippable whitespace
+    with an empty path used to put that whitespace at the END of the
+    output, where a second canonicalize's entry strip() ate it; 50k-fuzz
+    find, scripts/fuzz_urls.py P3)."""
+    from crawler_german_localpoliticans_spark.functions.urls import canonicalize_url
+
+    for raw in [
+        "ftp://9 :",            # host '9 ' -> trailing space in output pre-guard
+        "ftp://a\x0bb",         # interior vertical tab in host (trailing
+                                # whitespace is entry-stripped before parse)
+        "ftp://\xa0.b",         # NBSP in host
+        "http://a b.de/x",      # interior space, http
+        "https://h\x7f.de/x",   # DEL in host
+    ]:
+        assert canonicalize_url(raw) is None, raw
+
+    # idempotence holds on everything canonicalize accepts
+    for raw in [
+        "https://Example.DE:443/a b/../c#f", "http://a.de", "ftp://a.de/x",
+        "https://a.de/x%20y?q= 1", "mailto:x@y.de", "https://a.de/ä",
+    ]:
+        c = canonicalize_url(raw)
+        if c is not None:
+            assert canonicalize_url(c) == c, (raw, c)

@@ -138,6 +138,14 @@ def _q_found_links_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages, _, _ = corpus_from_documents(spark, sf_dir)
     out = with_found_links(pages, "url", "html", "fl")
+    # Optimization barrier (with_found_links docstring): exploding its
+    # output directly lets InferFiltersFromGenerate push an inferred
+    # size()>0 filter down BY SUBSTITUTION, duplicating the whole
+    # decode/regex expression tree plus a second python-UDF stage
+    # (measured 5x). Persist the pruned (url, fl) projection — html is
+    # dropped so the cache holds only the link arrays — and explode from
+    # the InMemoryRelation, which the rule cannot see through.
+    out = out.select("url", "fl").persist()
     return out.select("url", F.explode("fl").alias("link"))
 
 

@@ -16,9 +16,20 @@ Both are Spark-first:
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # FIPS-enforcing builds refuse plain md5; this use is non-cryptographic
+    hashlib.md5(b"", usedforsecurity=False)
+
+    def _md5(data: bytes):
+        return hashlib.md5(data, usedforsecurity=False)
+
+except TypeError:  # Python < 3.9: no usedforsecurity kwarg (and no FIPS gate)
+    _md5 = hashlib.md5
 
 # shared Spark/DuckDB regexes (keep in sync with the oracle in
 # __spark_entry__.py — both engines get THESE strings)
@@ -91,14 +102,14 @@ def ngram_hashes(
     contribute their single full-text gram, so no document is invisible to
     the check.
 
-    The hash is the first 8 bytes of MD5 (C-speed via hashlib; both join
+    The hash is the first 8 bytes of MD5 (C-speed via hashlib, constructed
+    with usedforsecurity=False so FIPS-enforcing builds allow this
+    non-cryptographic use; both join
     sides use THIS kernel, so the choice is self-consistent and invisible
     to callers). 64 bits keeps false collisions negligible even at
     10^10-doc scale (~3e11 grams -> expected ~2e3 spurious gram matches
     corpus-wide, i.e. a ~1e-7 false-contamination rate on a
     recall-oriented filter)."""
-    import hashlib
-
     from pyspark.sql import types as T
 
     from .dedup import tokens_py
@@ -118,7 +129,7 @@ def ngram_hashes(
             gs.discard("")
             out.append(
                 [
-                    int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big", signed=True)
+                    int.from_bytes(_md5(g.encode()).digest()[:8], "big", signed=True)
                     for g in gs
                 ]
                 or None
@@ -148,6 +159,38 @@ def _bench_gram_hashes(benchmark: DataFrame, bench_text_col: str, n: int) -> Dat
     )
 
 
+# Above this many distinct benchmark grams the broadcast is declined and
+# Catalyst/AQE picks a shuffle join instead. 10M longs ≈ 80 MB on the wire —
+# comfortably broadcastable; real eval suites are a few MBs of text (1e5-1e6
+# grams), so the shuffle branch only triggers when someone feeds a corpus-
+# sized "benchmark".
+BROADCAST_MAX_BENCH_GRAMS = 10_000_000
+
+
+def _bench_gram_join_side(
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int,
+    broadcast_max_grams: int | None,
+) -> DataFrame:
+    """Self-defending join side (the robots-join pattern,
+    plans/crawl.py evaluate_robots): COUNT the distinct benchmark gram set
+    once, broadcast it only when it is provably small, otherwise hand
+    Catalyst the un-hinted side so the gram join shuffles on gram_hash and
+    per-task memory stays O(grams/P). The gram set is persisted so the
+    count does not recompute the Arrow gram kernel inside the join.
+    broadcast_max_grams=None skips the guard (unconditional broadcast —
+    the pre-guard behavior, for callers that know their benchmark)."""
+    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
+    if broadcast_max_grams is None:
+        return F.broadcast(bench_grams)
+    bench_grams = bench_grams.persist()
+    n_grams = bench_grams.count()
+    if n_grams <= broadcast_max_grams:
+        return F.broadcast(bench_grams)
+    return bench_grams
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -155,6 +198,7 @@ def contamination_check(
     text_col: str,
     bench_text_col: str = "text",
     n: int = 13,
+    broadcast_max_grams: int | None = BROADCAST_MAX_BENCH_GRAMS,
 ) -> DataFrame:
     """Per-document contamination against an eval/benchmark corpus: a doc is
     contaminated iff it shares >= 1 word n-gram with ANY benchmark text.
@@ -163,10 +207,13 @@ def contamination_check(
     Plan shape for 100 TB: the benchmark side collapses to a distinct
     gram_hash set (tiny — benchmarks are MBs, corpora are TBs) that Spark
     broadcasts; the document side is one explode + one broadcast semi-ish
-    join + one groupBy. No substring matching, no cross join."""
+    join + one groupBy. No substring matching, no cross join. The broadcast
+    is size-guarded (_bench_gram_join_side): an adversarially large
+    benchmark declines to a shuffle join instead of OOMing every
+    executor."""
     doc_grams = ngram_hashes(docs, id_col, text_col, n)
-    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
-    hits = doc_grams.join(F.broadcast(bench_grams), "gram_hash").groupBy("id").agg(
+    bench_grams = _bench_gram_join_side(benchmark, bench_text_col, n, broadcast_max_grams)
+    hits = doc_grams.join(bench_grams, "gram_hash").groupBy("id").agg(
         F.count(F.lit(1)).alias("contaminated_grams")
     )
     base = docs.select(F.col(id_col).alias("id"))
@@ -187,11 +234,12 @@ def decontaminate(
     text_col: str,
     bench_text_col: str = "text",
     n: int = 13,
+    broadcast_max_grams: int | None = BROADCAST_MAX_BENCH_GRAMS,
 ) -> DataFrame:
     """The filter form: documents with no shared n-gram (LEFT ANTI join on
-    the broadcast benchmark gram set — the exact plan a 10^10-doc
+    the size-guarded benchmark gram set — the exact plan a 10^10-doc
     decontamination pass wants)."""
     doc_grams = ngram_hashes(docs, id_col, text_col, n)
-    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
-    dirty = doc_grams.join(F.broadcast(bench_grams), "gram_hash").select("id").distinct()
+    bench_grams = _bench_gram_join_side(benchmark, bench_text_col, n, broadcast_max_grams)
+    dirty = doc_grams.join(bench_grams, "gram_hash").select("id").distinct()
     return docs.join(dirty.withColumnRenamed("id", id_col), id_col, "left_anti")

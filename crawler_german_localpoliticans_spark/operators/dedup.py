@@ -204,12 +204,43 @@ def minhash_signatures_xx(
     return sigs.select("id", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig"))
 
 
+# Per-(band, band_hash) bucket cap: above this many members a bucket stops
+# doing all-pairs (quadratic — a boilerplate page duplicated 10^6x would
+# otherwise emit ~5*10^11 pairs from ONE bucket) and every overflow member
+# is paired with the bucket's min-id REPRESENTATIVE instead. 5000 keeps
+# head-pair work <= ~1.2*10^7 per degenerate bucket while being far above
+# any honest near-dup cluster; overflow members remain connected to their
+# cluster through the representative, so union-find/grouping downstream
+# sees the same components — only the redundant tail-tail pairs are elided.
+LSH_MAX_BUCKET = 5000
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    sigs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs colliding in >=1 LSH band. The band hash
     is xxhash64 over the band's signature slice; the pair search is an
-    equi-join on (band, band_hash) — never a cross join."""
+    equi-join on (band, band_hash) — never a cross join.
+
+    Degenerate-bucket cap (max_bucket_size, None disables): members of each
+    bucket are ranked by id (one window over the same (band, bh) shuffle the
+    join needs anyway); the first max_bucket_size members do the normal
+    all-pairs equi-join, and every overflow member contributes exactly one
+    pair (bucket-representative = min id, overflow id). Work per bucket is
+    bounded at O(cap^2 + n) instead of O(n^2) and NO member is dropped —
+    each stays connected to its duplicate cluster via the representative;
+    what's elided are the redundant overflow-overflow/head-overflow pairs.
+    Not silent: pass a pyspark.sql.Observation as `observation` and after
+    the first action its metrics report `lsh_capped_members` (overflow rows
+    across all bands) and `lsh_max_bucket_size`; minhash_dedup_pairs also
+    exposes this.
+    """
+    from pyspark.sql.window import Window
+
     banded = sigs.select(
         "id",
         F.explode(
@@ -226,9 +257,35 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
+
+    if max_bucket_size is None:
+        head, overflow_pairs = banded, None
+    else:
+        w = Window.partitionBy("band", "bh").orderBy("id")
+        ranked = banded.select(
+            "id",
+            "band",
+            "bh",
+            F.row_number().over(w).alias("rk"),
+            F.first("id").over(w).alias("rep"),  # min id: window is id-ordered
+        )
+        if observation is not None:
+            ranked = ranked.observe(
+                observation,
+                F.sum((F.col("rk") > max_bucket_size).cast("long")).alias(
+                    "lsh_capped_members"
+                ),
+                F.max("rk").alias("lsh_max_bucket_size"),
+            )
+        head = ranked.where(F.col("rk") <= max_bucket_size).select("id", "band", "bh")
+        overflow_pairs = (
+            ranked.where(F.col("rk") > max_bucket_size)
+            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+
+    left = head.alias("l")
+    right = head.alias("r")
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -236,8 +293,10 @@ def lsh_candidate_pairs(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    if overflow_pairs is not None:
+        pairs = pairs.unionByName(overflow_pairs)
+    return pairs.distinct()
 
 
 def minhash_dedup_pairs(
@@ -249,6 +308,8 @@ def minhash_dedup_pairs(
     k: int = 3,
     hash_family: str = "crc32",
     engine: str | None = None,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs with estimated Jaccard >= threshold:
     signatures -> LSH buckets -> candidate pairs -> signature-agreement
@@ -279,7 +340,9 @@ def minhash_dedup_pairs(
     # verification join — persist so the (UDF-free but shuffle-heavy)
     # signature computation runs once, not three times
     sigs = sig_fn(df, id_col, text_col, num_perm, k).persist()
-    cands = lsh_candidate_pairs(sigs)
+    cands = lsh_candidate_pairs(
+        sigs, max_bucket_size=max_bucket_size, observation=observation
+    )
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")

@@ -120,3 +120,64 @@ def test_contamination_ignores_boundary_whitespace(spark):
         for r in curation.contamination_check(docs, bench, "doc_id", "text", n=6).collect()
     }
     assert out == {1: True, 2: True, 3: False}
+
+
+def test_contamination_broadcast_size_guard(spark):
+    """The benchmark gram side is self-defending (the robots-join pattern):
+    below broadcast_max_grams the gram join broadcasts; an adversarially
+    large benchmark declines to a shuffle join — executors never hold the
+    whole gram set. Results are identical either way."""
+    import re
+
+    def gram_join_modes(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return re.findall(r"(\w*HashJoin\w*|SortMergeJoin\w*)[^\n]*gram_hash", plan)
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, "x " + bench_text + " y"), (2, "unrelated spark text here entirely")],
+        "doc_id long, text string",
+    )
+    # adversarial benchmark: many distinct grams (> threshold below)
+    big_bench = spark.createDataFrame(
+        [(f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4} {bench_text}",) for i in range(0, 120, 5)],
+        "text string",
+    )
+
+    small = curation.contamination_check(docs, big_bench, "doc_id", "text", n=5)
+    modes = gram_join_modes(small)
+    assert modes and all("Broadcast" in m for m in modes), modes
+
+    # the guarded form must not FORCE a broadcast; with the auto-broadcast
+    # estimator off (as it effectively is for a >threshold gram set at real
+    # scale) the gram join becomes a shuffle join
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        guarded = curation.contamination_check(
+            docs, big_bench, "doc_id", "text", n=5, broadcast_max_grams=3
+        )
+        modes = gram_join_modes(guarded)
+        assert modes and all("Broadcast" not in m for m in modes), modes
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # identical results in both modes, for check and filter forms alike
+    key = lambda rs: sorted((r["id"], r["contaminated_grams"], r["contaminated"]) for r in rs)
+    assert key(small.collect()) == key(guarded.collect())
+    clean_bc = curation.decontaminate(docs, big_bench, "doc_id", "text", n=5)
+    clean_sh = curation.decontaminate(
+        docs, big_bench, "doc_id", "text", n=5, broadcast_max_grams=3
+    )
+    assert sorted(r["doc_id"] for r in clean_bc.collect()) == sorted(
+        r["doc_id"] for r in clean_sh.collect()
+    ) == [2]

@@ -162,6 +162,25 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _e6(F.col("est_jaccard")).alias("est_jaccard_e6"))
 
 
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: the minhash near-dup pairs (threshold 0.2, the
+    minhash_neardup query's exact pair set) fed through large-star/
+    small-star connected components (operators/dedup.py
+    connected_components) — every document labeled with the MINIMUM doc_id
+    reachable through the near-dup graph, singletons labeling themselves,
+    is_representative marking the one kept doc per cluster. The oracle
+    re-derives the same labels with a recursive CTE over the SQL-re-derived
+    pair set."""
+    from crawler_german_localpoliticans_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        neardup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+    return neardup_clusters(docs, "doc_id", pairs)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_german_localpoliticans_spark.operators.dedup import with_simhash
 
@@ -799,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "found_links_jvm": _q_found_links_jvm,
         "exact_dedup": _q_exact_dedup,
         "minhash_neardup": _q_minhash_neardup,
+        "neardup_clusters": _q_neardup_clusters,
         "minhash_planted": _q_minhash_planted,
         "minhash_planted_xx": _q_minhash_planted_xx,
         "simhash": _q_simhash,
@@ -1024,6 +1044,31 @@ def _minhash_neardup_oracle_sql() -> str:
         JOIN sig sa ON sa.doc_id = id_a
         JOIN sig sb ON sb.doc_id = id_b
         WHERE {agree} >= 13
+    """
+
+
+def _neardup_clusters_oracle_sql() -> str:
+    """Connected components over the SQL-re-derived minhash pair set
+    (_minhash_neardup_oracle_sql, embedded verbatim as a nested-WITH
+    subquery so the two oracles can never drift apart) via a recursive
+    CTE: reach(id, r) holds every (node, reachable node) pair over the
+    symmetrized edge list; the cluster label is MIN(r) — exactly the
+    large-star/small-star fixed point the Spark side computes."""
+    pairs_sql = _minhash_neardup_oracle_sql()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+        )
+        SELECT id, MIN(r) AS cluster_id, MIN(r) = id AS is_representative
+        FROM reach GROUP BY id
     """
 
 
@@ -1541,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         # table + list_reduce recomputes zlib/JVM-identical hashes, so the
         # previously rows-only queries are now fully hash-checked
         "minhash_neardup": _minhash_neardup_oracle_sql(),
+        "neardup_clusters": _neardup_clusters_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "fingerprint_planted": _PLANTED_PAIRS_SQL,
         # byte-level reconstruction of the deterministic fake decoder — the

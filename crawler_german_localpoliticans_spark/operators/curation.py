@@ -180,15 +180,34 @@ def _bench_gram_join_side(
     per-task memory stays O(grams/P). The gram set is persisted so the
     count does not recompute the Arrow gram kernel inside the join.
     broadcast_max_grams=None skips the guard (unconditional broadcast —
-    the pre-guard behavior, for callers that know their benchmark)."""
+    the pre-guard behavior, for callers that know their benchmark).
+
+    The count runs ONCE per (session, benchmark plan, n, threshold): the
+    resulting broadcast-or-shuffle DECISION is memoized, so repeated calls
+    (the check form then the filter form, or a bench loop) pay no extra
+    job. Like AQE statistics, a stale decision can only change the join
+    strategy, never the result."""
     bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
     if broadcast_max_grams is None:
         return F.broadcast(bench_grams)
-    bench_grams = bench_grams.persist()
-    n_grams = bench_grams.count()
-    if n_grams <= broadcast_max_grams:
-        return F.broadcast(bench_grams)
-    return bench_grams
+    spark = benchmark.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        benchmark.semanticHash(),
+        bench_text_col,
+        n,
+        broadcast_max_grams,
+    )
+    decision = _BENCH_GRAM_DECISIONS.get(key)
+    if decision is None:
+        counted = bench_grams.persist()
+        decision = counted.count() <= broadcast_max_grams
+        _BENCH_GRAM_DECISIONS[key] = decision
+        bench_grams = counted  # reuse the persisted set for this first call
+    return F.broadcast(bench_grams) if decision else bench_grams
+
+
+_BENCH_GRAM_DECISIONS: dict[tuple, bool] = {}
 
 
 def contamination_check(

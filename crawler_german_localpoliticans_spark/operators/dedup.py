@@ -635,3 +635,156 @@ def embedding_neardup_pairs_join(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> representatives
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in `pairs`, where cluster_id
+    is the MINIMUM id reachable through the pair graph — the missing step
+    between near-dup PAIRS (minhash/simhash/embedding *_pairs operators)
+    and an actually deduplicated corpus (keep one representative per
+    cluster).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log n) rounds on any graph (vs O(diameter) for naive label
+    propagation, which a chained near-dup cluster can stretch), and every
+    round is one groupBy over the symmetrized edge list, no joins:
+
+      large-star: for each node u, connect every neighbor v > u to
+                  m = min(neighborhood(u) + u);
+      small-star: connect every neighbor v <= u (except m) to m.
+
+    At a fixed point the edges form stars centered at each component's
+    minimum. Each round triggers one comparison action (count + order-
+    independent edge checksum) to detect the fixed point — iterative
+    convergence is inherently driver-paced; the per-round data path is
+    pure shuffle-by-key. Raises RuntimeError after max_iter rounds (a
+    correctness backstop: the algorithm provably converges, so hitting it
+    means the input violates assumptions, e.g. non-deterministic ids)."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    # canonical undirected representation: (u, v) oriented u > v
+    edges = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    # all ids ever seen (kept stable across rounds; at the fixed point the
+    # component minima appear only on the small side of edges)
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        # full neighborhoods: symmetrize, per-node minimum via groupBy-min
+        # plus an equi-join back (NOT collect_list — a component minimum
+        # in a mass-duplicate cluster has degree ~cluster size, and a
+        # collected neighborhood array must fit in one task), then connect
+        # every LARGER neighbor to m = min(N(u) + u)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        out = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # v > u >= m
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # edges already oriented u > v: group by the LARGER endpoint,
+        # connect u and every neighbor to m = min(N(u)) — including u
+        # itself (the edge that keeps u attached to its component)
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))  # all v < u
+        nbr_edges = (
+            edges.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # v > m
+        )
+        self_edges = mins.select("u", F.col("m").alias("v"))  # u > m always
+        return nbr_edges.unionByName(self_edges).distinct()
+
+    def checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),  # order-independent, no ANSI overflow
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # each round references its input twice per star op, so the lazy plan
+    # would DOUBLE every round and the driver dies analyzing it long before
+    # the data is big — localCheckpoint materializes the round and truncates
+    # lineage (the standard iterative-Spark pattern; trade-off: blocks are
+    # not recomputable on executor loss, use checkpoint() with a checkpoint
+    # dir for fault-tolerant runs)
+    edges = edges.localCheckpoint(eager=True)
+    sig = checksum(edges)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        nsig = checksum(nxt)
+        edges.unpersist()
+        edges = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # at the fixed point every non-minimum node has exactly the edge
+    # (node, component_min); component minima label themselves
+    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("id"), "cluster_id"
+    )
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame, id_col: str, pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(id, cluster_id, is_representative) for EVERY document: paired docs
+    get their component minimum as cluster_id, singletons label themselves.
+    `is_representative` marks the one kept doc per cluster (the minimum id
+    — deterministic, matching exact_dedup's min-id representative rule)."""
+    comps = connected_components(pairs, src, dst)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "id") == F.col("id")).alias("is_representative"),
+        )
+    )
+
+
+def dedup_keep_representatives(
+    docs: DataFrame, id_col: str, pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """The filter form: drop every document whose near-dup cluster contains
+    a smaller id (one representative survives per cluster — the C4/RefinedWeb
+    near-dedup step). Docs never paired pass through untouched."""
+    dupes = (
+        connected_components(pairs, src, dst)
+        .where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(dupes, id_col, "left_anti")

@@ -317,3 +317,80 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     a = sorted((r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(ssigs, max_bucket_size=None).collect())
     b = sorted((r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(ssigs).collect())
     assert a == b
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per component
+    return {i: min(j for j in range(n_nodes) if find(j) == find(i)) for i in range(n_nodes)}
+
+
+def test_connected_components_vs_union_find(spark):
+    """large-star/small-star differential vs a Python union-find on graph
+    shapes that stress the algorithm: a long chain (naive label propagation
+    needs O(diameter) rounds; star ops need O(log n)), cliques, stars,
+    random sparse graphs, and disconnected singletons."""
+    import random
+
+    cases = []
+    # 40-node chain
+    cases.append((40, [(i, i + 1) for i in range(39)]))
+    # two cliques + a bridge + singletons (nodes 20..24 untouched)
+    clique1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    cases.append((25, clique1 + clique2 + [(4, 10)]))
+    # random sparse graphs, fixed seeds
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        cases.append((n, edges))
+
+    for n, edges in cases:
+        expect = _uf_components(n, edges)
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        # operator only labels ids appearing in pairs; singletons are the
+        # caller's join (neardup_clusters) — compare on covered ids
+        covered = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
+        assert got == {i: expect[i] for i in covered}, (n, len(edges))
+
+
+def test_neardup_clusters_and_representatives(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2), (6, 7)], "id_a long, id_b long"
+    )
+    clusters = {
+        r["id"]: (r["cluster_id"], r["is_representative"])
+        for r in dedup.neardup_clusters(docs, "doc_id", pairs).collect()
+    }
+    assert clusters == {
+        0: (0, True), 3: (0, False), 5: (0, False),
+        1: (1, True), 2: (1, False),
+        6: (6, True), 7: (6, False),
+        4: (4, True),
+    }
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_representatives(docs, "doc_id", pairs).collect()
+    )
+    assert kept == [0, 1, 4, 6]

@@ -382,6 +382,21 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication candidates: winnowed fingerprint sets
+    (operators/textstats.py winnow_batch — window 16, guard 4, the MOSS
+    selection) -> stop-fp document-frequency cap -> fp equi-join -> pairs
+    sharing >= 2 fingerprints. The oracle re-derives the identical winnow
+    sets with HUGEINT rolling-hash lambdas and the same df cap in SQL."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        substring_dup_pairs,
+    )
+
+    return substring_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", min_shared=2, max_fp_freq=1000
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_german_localpoliticans_spark.operators.textstats import with_fingerprint
 
@@ -843,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
+        "substring_dup": _q_substring_dup,
         "keyword_gate": _q_keyword_gate,
         "posexplode_tokens": _q_posexplode_tokens,
         "ledger_events": _q_ledger_events,
@@ -1837,6 +1853,50 @@ def oracle_sql() -> dict[str, str]:
                                (acc * 257 + x) % 2305843009213693951)))
                    END AS BIGINT) AS min_gram_hash
             FROM h
+        """,
+        # Winnowed fingerprint sets re-derived with the same HUGEINT
+        # rolling-hash lambdas as `fingerprint`, plus the winnow selection
+        # (distinct sliding minima over guard=4 consecutive window hashes —
+        # positional tie-breaks are value-irrelevant for a SET), the
+        # stop-fp document-frequency cap (<= 1000), and the fp self-join.
+        # Mirrors operators/textstats.py winnow_batch / substring_dup_pairs.
+        "substring_dup": """
+            WITH codes AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(text) + 1),
+                                      i -> CAST(unicode(text[i]) AS HUGEINT)) AS cs,
+                       length(text) AS n
+                FROM documents
+            ),
+            whs AS (
+                SELECT doc_id, n,
+                       CASE WHEN n = 0 THEN [CAST(0 AS HUGEINT)]
+                            WHEN n < 16 THEN [list_reduce(cs, (acc, x) ->
+                                (acc * 257 + x) % 2305843009213693951)]
+                            ELSE list_transform(range(1, n - 14),
+                                i -> list_reduce(cs[i:i+15], (acc, x) ->
+                                    (acc * 257 + x) % 2305843009213693951))
+                       END AS wh
+                FROM codes
+            ),
+            sel AS (
+                SELECT doc_id,
+                       CASE WHEN len(wh) <= 4 THEN [list_min(wh)]
+                            ELSE list_distinct(list_transform(range(1, len(wh) - 2),
+                                j -> list_min(wh[j:j+3])))
+                       END AS fps
+                FROM whs
+            ),
+            fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            kept AS (
+                SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000
+            ),
+            fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN kept USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared_fps
+            FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
         """,
         "keyword_gate": f"""
             SELECT doc_id, ({gate_cond}) AS keyword_hit FROM documents

@@ -413,3 +413,178 @@ def with_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("fp", fp(F.col(text_col))).select(
         "*", F.col("fp.doc_hash").alias("doc_hash"), F.col("fp.min_gram_hash").alias("min_gram_hash")
     ).drop("fp")
+
+
+# ---------------------------------------------------------------------------
+# winnowed fingerprint sets + substring-duplicate candidate pairs
+# ---------------------------------------------------------------------------
+
+FP_GUARD = 4  # winnowing guard: one fingerprint selected per guard windows
+
+
+def winnow_py(text: str, window: int = FP_WINDOW, guard: int = FP_GUARD) -> list[int]:
+    """Pure-Python parity oracle for the winnowed fingerprint SET of a text:
+    all `window`-char rolling hashes, then the DISTINCT sliding minimum over
+    every `guard` consecutive window hashes (Schleimer/Wilkerson/Aiken
+    winnowing, MOSS). For a fingerprint SET the positional tie-breaks of the
+    original algorithm are irrelevant — ties share the same VALUE — so the
+    selected set is exactly {min(wh[j:j+guard])}. Guarantee kept: any shared
+    substring of length >= window + guard - 1 yields >= 1 shared selected
+    fingerprint. Docs with fewer than `guard` windows winnow what they have;
+    docs shorter than `window` fall back to {doc_hash} (fingerprint_py's
+    short-doc rule)."""
+    n = len(text)
+    doc_hash, _ = fingerprint_py(text, window)
+    if n < window:
+        return [doc_hash]
+    pw = pow(FP_BASE, window - 1, FP_MOD)
+    wh = 0
+    whs = []
+    for ch in text[:window]:
+        wh = (wh * FP_BASE + ord(ch)) % FP_MOD
+    whs.append(wh)
+    for i in range(window, n):
+        wh = ((wh - ord(text[i - window]) * pw) * FP_BASE + ord(text[i])) % FP_MOD
+        whs.append(wh)
+    if len(whs) <= guard:
+        return sorted({min(whs)})
+    sel = {min(whs[j : j + guard]) for j in range(len(whs) - guard + 1)}
+    return sorted(sel)
+
+
+def winnow_batch(
+    texts: list[str], window: int = FP_WINDOW, guard: int = FP_GUARD
+) -> list[list[int]]:
+    """Vectorized winnowed fingerprint sets for a batch — the same
+    prefix-hash formulation as fingerprint_batch (which stays frozen as the
+    min-gram parity surface): one mulmod per character to build the
+    weighted codepoint array, one per window for the window hashes, then a
+    per-document stride-view sliding minimum (guard is small, so the
+    O(n_windows * guard) min is a handful of vectorized compares) and a
+    unique. Parity with winnow_py is pinned by tests."""
+    texts = [t if isinstance(t, str) else "" for t in texts]
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return [[0] for _ in range(n_docs)]
+
+    codes = np.frombuffer(
+        "".join(texts).encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.uint64)
+    max_len = int(lens.max())
+    pows = _pow_table(max_len + window)
+    inv_pows = _pow_table(max_len, _FP_BASE_INV)
+
+    starts_rep = np.repeat(offsets[:-1], lens)
+    rel = np.arange(total, dtype=np.int64) - starts_rep
+    w_arr = np.empty(total, dtype=np.uint64)
+    for s in range(0, total, _FP_CHUNK):
+        e = min(s + _FP_CHUNK, total)
+        w_arr[s:e] = _mulmod61_small(inv_pows[rel[s:e]], codes[s:e])
+    cs_hi = np.zeros(total + 1, dtype=np.uint64)
+    cs_lo = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(w_arr >> np.uint64(32), out=cs_hi[1:])
+    np.cumsum(w_arr & _MASK32, out=cs_lo[1:])
+
+    # all window hashes at every global position (garbage across doc
+    # boundaries — sliced away per document below)
+    n_win_total = total - window + 1
+    wh = np.empty(max(n_win_total, 0), dtype=np.uint64)
+    for s in range(0, max(n_win_total, 0), _FP_CHUNK):
+        e = min(s + _FP_CHUNK, n_win_total)
+        d_hi = cs_hi[s + window : e + window] - cs_hi[s:e]
+        d_lo = cs_lo[s + window : e + window] - cs_lo[s:e]
+        val = _fold61(_shift32_mod(d_hi) + _fold61(d_lo))
+        wh[s:e] = _mulmod61(pows[rel[s:e] + (window - 1)], val)
+
+    out: list[list[int]] = []
+    for d in range(n_docs):
+        n = int(lens[d])
+        if n == 0:
+            out.append([0])
+            continue
+        start, end = int(offsets[d]), int(offsets[d + 1])
+        if n < window:
+            dh = _mulmod61(pows[n - 1], _seg_value(cs_hi, cs_lo,
+                                                   np.int64(start), np.int64(end)))
+            out.append([int(np.int64(dh))])
+            continue
+        dwh = wh[start : start + (n - window + 1)]
+        if len(dwh) <= guard:
+            out.append([int(np.int64(dwh.min()))])
+            continue
+        mins = np.lib.stride_tricks.sliding_window_view(dwh, guard).min(axis=1)
+        out.append(sorted(int(v) for v in np.unique(mins).astype(np.int64)))
+    return out
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = FP_WINDOW,
+    guard: int = FP_GUARD,
+) -> DataFrame:
+    """(id, fp) — one row per DISTINCT winnowed fingerprint per document.
+    Map-side Arrow kernel + explode: the only shuffle in any downstream use
+    is the equi-join/groupBy on fp. Any substring shared between two
+    documents of length >= window + guard - 1 characters guarantees a
+    shared fp row (the winnowing guarantee), which makes this the
+    substring-level complement to whole-document MinHash."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fps(texts: pd.Series) -> pd.Series:
+        return pd.Series(winnow_batch(list(texts), window, guard))
+
+    return (
+        df.select(F.col(id_col).alias("id"), fps(F.col(text_col)).alias("fps"))
+        .select("id", F.explode("fps").alias("fp"))
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    window: int = FP_WINDOW,
+    guard: int = FP_GUARD,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """(id_a < id_b, shared_fps) — document pairs sharing >= min_shared
+    winnowed fingerprints: substring-level duplication candidates (the
+    Lee et al. "Deduplicating Training Data" substring regime, approximated
+    by fingerprint overlap instead of suffix arrays — candidates are exact
+    on the winnowing guarantee; verification of the actual span is left to
+    the caller, which at 100 TB is the right split: the pair set is tiny
+    next to the corpus).
+
+    Skew defense (max_fp_freq, None disables): a fingerprint appearing in
+    more than max_fp_freq documents is boilerplate (navigation chrome,
+    license footers) and is EXCLUDED from pairing — the standard
+    stop-gram rule; without it one footer fingerprint shared by 10^6 docs
+    would emit ~5*10^11 pairs. Exclusion is by document frequency, computed
+    with one groupBy on the exploded fp table; the same rule is trivially
+    reproducible in the SQL oracle, so the cap is part of the verified
+    contract, not a silent heuristic."""
+    fps = winnowed_fingerprints(df, id_col, text_col, window, guard)
+    if max_fp_freq is not None:
+        freq_ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(freq_ok, "fp")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -297,3 +297,68 @@ def test_streaming_ingest_counts(spark, smoke_dir, tmp_path):
     q.awaitTermination(120)
     got = {r["depth"]: r["pages"] for r in spark.sql("select * from t_fetched_counts").collect()}
     assert got == expected
+
+
+def test_winnow_batch_parity_and_guarantee():
+    """winnow_batch == winnow_py on randomized texts (incl. unicode,
+    whitespace runs, short docs), and the winnowing GUARANTEE holds: two
+    texts sharing any substring of length >= window + guard - 1 share >= 1
+    selected fingerprint."""
+    import random
+
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        FP_GUARD,
+        FP_WINDOW,
+        winnow_batch,
+        winnow_py,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh äöü \t\n."
+    texts = ["", "x", "kurz", "a" * 16, "ab" * 40]
+    texts += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+              for _ in range(60)]
+    got = winnow_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == winnow_py(t), repr(t[:30])
+
+    shared = "gemeinsamer abschnitt der lang genug ist"  # >= window+guard-1
+    assert len(shared) >= FP_WINDOW + FP_GUARD - 1
+    a = "prefix eins " + shared + " suffix eins"
+    b = "ganz anderer anfang " + shared + " und ende zwei"
+    sa, sb = winnow_batch([a, b])
+    assert set(sa) & set(sb), "winnowing guarantee violated"
+
+
+def test_substring_dup_pairs_and_stop_fp_cap(spark):
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        substring_dup_pairs,
+    )
+
+    shared = "dieser absatz wurde woertlich uebernommen und ist lang genug dafuer"
+    footer = "impressum datenschutz kontakt stadtverwaltung"
+    rows = [
+        (1, "eigener inhalt eins " + shared + " weitere saetze hier " + footer),
+        (2, "voellig anderer text zwei " + shared + " noch mehr inhalt " + footer),
+        (3, "unabhaengiges dokument ohne uebernommene abschnitte dabei " + footer),
+        (4, "das vierte dokument teilt mit niemandem etwas substantielles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in substring_dup_pairs(docs, "doc_id", "text", min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(k == (1, 2) or 3 not in k or pairs[k] >= 2 for k in pairs)
+
+    # stop-fp cap: with max_fp_freq=2 the footer fingerprints (df=3) are
+    # excluded, so doc 3 pairs with nobody; (1,2) still pairs via `shared`
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in substring_dup_pairs(
+            docs, "doc_id", "text", min_shared=2, max_fp_freq=2
+        ).collect()
+    }
+    assert (1, 2) in capped
+    assert not any(3 in p for p in capped)

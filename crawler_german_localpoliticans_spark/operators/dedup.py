@@ -226,11 +226,20 @@ def lsh_candidate_pairs(
     is xxhash64 over the band's signature slice; the pair search is an
     equi-join on (band, band_hash) — never a cross join.
 
-    Degenerate-bucket cap (max_bucket_size, None disables): members of each
-    bucket are ranked by id (one window over the same (band, bh) shuffle the
-    join needs anyway); the first max_bucket_size members do the normal
+    Degenerate-bucket cap (max_bucket_size, None disables): a hash-agg
+    finds the oversized buckets (map-side combine -> one row per bucket;
+    there are mathematically at most n_banded/max_bucket_size of them, so
+    the list always broadcasts), and ONLY their rows pay a row_number
+    window; the first max_bucket_size members of each do the normal
     all-pairs equi-join, and every overflow member contributes exactly one
-    pair (bucket-representative = min id, overflow id). Work per bucket is
+    pair (bucket-representative = min id, overflow id). Measured trade-off
+    (sf0.1, interleaved min-of-5): this split costs ~1.0s over uncapped at
+    toy scale (three extra stages of fixed overhead; a rank-everything
+    window costs ~0.45s) — but the window variant SORTS the entire banded
+    table (16 rows/doc, ~1.6e11 rows at 1e10 docs) to police a cap that
+    almost never triggers, while the agg probe is map-side-combined and
+    the second pass is map-only; at cluster scale the sort is the
+    bottleneck, the fixed stages amortize to nothing. Work per bucket is
     bounded at O(cap^2 + n) instead of O(n^2) and NO member is dropped —
     each stays connected to its duplicate cluster via the representative;
     what's elided are the redundant overflow-overflow/head-overflow pairs.
@@ -261,8 +270,22 @@ def lsh_candidate_pairs(
     if max_bucket_size is None:
         head, overflow_pairs = banded, None
     else:
+        # Find the oversized buckets with one hash-agg, then rank ONLY
+        # their rows: a global row_number window would SORT the whole
+        # banded table (16 rows per doc) to police a cap that almost never
+        # triggers. The oversized-bucket list is mathematically tiny —
+        # each holds > max_bucket_size members, so there are at most
+        # n_banded / max_bucket_size of them — hence always broadcastable,
+        # and the plan needs no eager driver-side decision.
+        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_bsz"))
+        oversized = (
+            sizes.where(F.col("_bsz") > max_bucket_size)
+            .select("band", "bh", F.lit(True).alias("_over"))
+        )
+        flagged = banded.join(F.broadcast(oversized), ["band", "bh"], "left")
+        ok_part = flagged.where(F.col("_over").isNull()).select("id", "band", "bh")
         w = Window.partitionBy("band", "bh").orderBy("id")
-        ranked = banded.select(
+        ranked = flagged.where(F.col("_over").isNotNull()).select(
             "id",
             "band",
             "bh",
@@ -270,6 +293,8 @@ def lsh_candidate_pairs(
             F.first("id").over(w).alias("rep"),  # min id: window is id-ordered
         )
         if observation is not None:
+            # metrics are null when no bucket exceeded the cap (the
+            # observed branch saw zero rows)
             ranked = ranked.observe(
                 observation,
                 F.sum((F.col("rk") > max_bucket_size).cast("long")).alias(
@@ -277,7 +302,9 @@ def lsh_candidate_pairs(
                 ),
                 F.max("rk").alias("lsh_max_bucket_size"),
             )
-        head = ranked.where(F.col("rk") <= max_bucket_size).select("id", "band", "bh")
+        head = ok_part.unionByName(
+            ranked.where(F.col("rk") <= max_bucket_size).select("id", "band", "bh")
+        )
         overflow_pairs = (
             ranked.where(F.col("rk") > max_bucket_size)
             .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))

@@ -382,6 +382,24 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing over the documents table: whitespace
+    token counts (the token_count contract), deterministic doc_id-order
+    concatenation, seq_len=2048 — per doc its stream start, first pack,
+    offset, and spanned-pack count. Spark computes the global prefix sum
+    with the two-pass bucketed pattern (operators/packing.py); the oracle
+    is the plain windowed SUM the pattern is provably equal to."""
+    from crawler_german_localpoliticans_spark.operators.packing import pack_sequences
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        with_token_counts,
+    )
+
+    docs = with_token_counts(_docs(spark, sf_dir).select("doc_id", "text"), "text")
+    return pack_sequences(docs, "doc_id", "n_tokens", 2048).select(
+        "doc_id", "n_tokens", "start_offset", "pack_id", "pack_offset", "n_packs_spanned"
+    )
+
+
 def _q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication candidates: winnowed fingerprint sets
     (operators/textstats.py winnow_batch — window 16, guard 4, the MOSS
@@ -859,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "substring_dup": _q_substring_dup,
+        "pack_sequences": _q_pack_sequences,
         "keyword_gate": _q_keyword_gate,
         "posexplode_tokens": _q_posexplode_tokens,
         "ledger_events": _q_ledger_events,
@@ -1860,6 +1879,30 @@ def oracle_sql() -> dict[str, str]:
         # positional tie-breaks are value-irrelevant for a SET), the
         # stop-fp document-frequency cap (<= 1000), and the fp self-join.
         # Mirrors operators/textstats.py winnow_batch / substring_dup_pairs.
+        # Packing oracle: the windowed SUM form the two-pass bucketed
+        # prefix sum is provably equal to; integer div/mod throughout.
+        "pack_sequences": rf"""
+            WITH tc AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{TOKEN_PAT}'))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                           AS start_offset
+                FROM tc
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // 2048)::BIGINT AS pack_id,
+                   (start_offset % 2048)::BIGINT AS pack_offset,
+                   CASE WHEN n_tokens = 0 THEN 0
+                        ELSE (start_offset + n_tokens - 1) // 2048
+                             - start_offset // 2048 + 1
+                   END::BIGINT AS n_packs_spanned
+            FROM c
+        """,
         "substring_dup": """
             WITH codes AS (
                 SELECT doc_id,

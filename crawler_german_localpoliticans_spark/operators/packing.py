@@ -1,0 +1,124 @@
+"""Sequence packing: documents -> fixed-length training sequences.
+
+The last step of a pretraining data pipeline: concatenate tokenized
+documents in a deterministic order and cut the stream into fixed-length
+sequences (GPT-style packing — documents may straddle sequence boundaries;
+the trainer masks or resets attention at document breaks). The operator
+computes, for every document, WHERE its tokens land in that stream:
+
+    start_offset     exclusive global prefix sum of token counts in id order
+    pack_id          start_offset div seq_len      (first sequence touched)
+    pack_offset      start_offset mod seq_len      (position inside it)
+    n_packs_spanned  how many sequences the document crosses
+
+which is everything a writer needs to emit packed sequences in parallel
+(each output pack p gathers the docs with pack_id <= p < pack_id +
+n_packs_spanned; the gather is an equi-join on pack_id after a cheap
+interval explode).
+
+Scale shape: the global prefix sum is the same two-pass pattern as
+plans/ordering.py assign_global_seq — a naive `SUM() OVER (ORDER BY id)`
+funnels the corpus through ONE partition; instead rows are range-bucketed
+by id, summed within buckets (partitionBy window), and the tiny per-bucket
+totals become broadcast offsets. Deterministic, shuffle-safe, never
+depends on partition iteration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    buckets: int = 32,
+) -> DataFrame:
+    """Add (start_offset, pack_id, pack_offset, n_packs_spanned) for the
+    deterministic concatenation of documents in ascending `id_col` order
+    (ids must be duplicate-free, token counts >= 0). Empty documents get
+    their stream position with n_packs_spanned = 0."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    lead = F.col(id_col)
+    bounds = df.agg(
+        F.min(lead).alias("lo"), F.max(lead).alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if bounds["n"] == 0:
+        return (
+            df.withColumn("start_offset", F.lit(0).cast("long"))
+            .withColumn("pack_id", F.lit(0).cast("long"))
+            .withColumn("pack_offset", F.lit(0).cast("long"))
+            .withColumn("n_packs_spanned", F.lit(0).cast("long"))
+        )
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) + 1
+    bucket = (
+        ((lead - F.lit(lo)) * F.lit(buckets) / F.lit(span)).cast("int")
+        if span > 1
+        else F.lit(0)
+    )
+    df = df.withColumn("_bucket", bucket)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(lead.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.col(n_tokens_col).cast("long")
+    # inclusive within-bucket running total; exclusive = inclusive - own
+    df = df.withColumn("_incl", F.sum(n_tok).over(w))
+    totals = df.groupBy("_bucket").agg(F.sum(n_tok).alias("_t")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_bucket"]):
+        offsets[row["_bucket"]] = acc
+        acc += int(row["_t"] or 0)
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "_bucket int, _offset long"
+    )
+    start = F.col("_offset") + F.col("_incl") - n_tok
+    L = F.lit(seq_len).cast("long")
+    # `div` (integer division), never `/`: Spark's / goes through double,
+    # which silently corrupts offsets past 2^53 — a real regime at corpus
+    # scale (a 100-TB corpus is ~2.5e13 tokens)
+    return (
+        df.join(F.broadcast(offsets_df), "_bucket")
+        .withColumn("start_offset", start.cast("long"))
+        .withColumn("pack_id", F.expr(f"start_offset div {seq_len}"))
+        .withColumn("pack_offset", F.col("start_offset") % L)
+        .withColumn(
+            "n_packs_spanned",
+            F.when(n_tok == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(f"(start_offset + {n_tokens_col} - 1) div {seq_len}")
+                - F.col("pack_id")
+                + 1
+            ),
+        )
+        .drop("_bucket", "_incl", "_offset")
+    )
+
+
+def pack_assignments(
+    packed: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Explode the packing table into one (pack_id, id) row per sequence a
+    document touches — the gather side of a parallel pack writer (group by
+    pack_id, sort by start_offset, emit the sequence). Pure Column interval
+    explode; a document spanning k sequences emits k rows."""
+    return (
+        packed.where(F.col("n_packs_spanned") > 0)
+        .select(
+            F.col(id_col),
+            "start_offset",
+            F.explode(
+                F.sequence(
+                    F.col("pack_id"),
+                    F.col("pack_id") + F.col("n_packs_spanned") - 1,
+                )
+            ).alias("pack_id"),
+        )
+    )

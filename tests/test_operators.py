@@ -362,3 +362,48 @@ def test_substring_dup_pairs_and_stop_fp_cap(spark):
     }
     assert (1, 2) in capped
     assert not any(3 in p for p in capped)
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Two-pass packing == single-threaded reference packing (exclusive
+    prefix sums over id order), including empty docs, boundary-straddling
+    docs, and ids that are non-contiguous — and pack_assignments emits
+    exactly one row per (doc, touched sequence)."""
+    import random
+
+    from crawler_german_localpoliticans_spark.operators.packing import (
+        pack_assignments,
+        pack_sequences,
+    )
+
+    rng = random.Random(11)
+    rows = [(i * 7 + 3, rng.choice([0, 1, 5, 17, 100, 2048, 5000]))
+            for i in range(200)]
+    L = 2048
+    # python reference
+    expect = {}
+    start = 0
+    for did, n in sorted(rows):
+        pid = start // L
+        expect[did] = (
+            start, pid, start % L,
+            0 if n == 0 else (start + n - 1) // L - pid + 1,
+        )
+        start += n
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["pack_id"], r["pack_offset"],
+                      r["n_packs_spanned"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", L, buckets=8).collect()
+    }
+    assert got == expect
+
+    packed = pack_sequences(df, "doc_id", "n_tokens", L, buckets=8)
+    rows_out = pack_assignments(packed, "doc_id").collect()
+    expect_rows = sorted(
+        (did, p)
+        for did, (s, pid, off, k) in expect.items()
+        for p in range(pid, pid + k)
+    )
+    assert sorted((r["doc_id"], r["pack_id"]) for r in rows_out) == expect_rows

@@ -26,7 +26,15 @@ _DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
 
 
 def _remove_dot_segments(path: str) -> str:
-    """RFC 3986 §5.2.4 — the `url` crate applies this at parse time."""
+    """RFC 3986 §5.2.4 — the `url` crate applies this at parse time.
+
+    A trailing '.' / '..' segment ALWAYS contributes a trailing empty
+    segment (the buffer algorithm replaces the final '/.' with '/'), even
+    when the output already ends with one: '/ba///.' -> '/ba///', not
+    '/ba//'. The old conditional append dropped that empty segment, which
+    made the fast root-relative join path diverge from urljoin (whose own
+    dot removal is RFC-faithful here) — found by the 150k fresh-seed fuzz
+    (scripts/fuzz_urls.py P1), pinned in tests/test_functions_urls.py."""
     if not path:
         return path
     output: list[str] = []
@@ -39,7 +47,7 @@ def _remove_dot_segments(path: str) -> str:
             continue
         output.append(seg)
     # trailing "." / ".." imply a trailing slash
-    if path.endswith(("/.", "/..")) and (not output or output[-1] != ""):
+    if path.endswith(("/.", "/..")):
         output.append("")
     result = "/".join(output)
     if path.startswith("/") and not result.startswith("/"):
@@ -104,6 +112,13 @@ def canonicalize_url(raw: str, *, keep_fragment: bool = False) -> str | None:
     if scheme in ("http", "https") and not path:
         path = "/"
     path = quote(path, safe=_PATH_SAFE)
+    # Authority-less URL whose path starts with '//' ('ftp:////A' parses as
+    # netloc='', path='//A'): urlunsplit emits 'ftp://A', which RE-PARSES
+    # with the path as the authority — no canonical fixed point exists, so
+    # reject (the url crate errors on these too: empty host). Fuzz find,
+    # scripts/fuzz_urls.py P3; pinned in tests/test_functions_urls.py.
+    if not netloc and path.startswith("//"):
+        return None
     query = quote(parts.query, safe=_QUERY_SAFE)
     fragment = quote(parts.fragment, safe=_QUERY_SAFE) if keep_fragment and parts.fragment else ""
     return urlunsplit((scheme, netloc, path, query, fragment))
@@ -229,8 +244,18 @@ def join_url_fast(base: str, href_stripped: str, origin: str | None) -> str | No
     str.strip() pre-stripping only removes these at the ENDS, so interior
     occurrences survive to this check. Real-markup hot hrefs contain none
     of them, and the per-batch memo makes the slow path near-free, so the
-    conservative decline costs nothing measurable."""
-    if _UNSAFE_HREF_RE.search(href_stripped) is not None:
+    conservative decline costs nothing measurable.
+
+    Dot-SEGMENT hrefs (any '/.' substring) also decline: CPython's urljoin
+    resolution algorithm deviates from RFC 3986 §5.2.4 when '.'/'..'
+    segments sit next to EMPTY segments ('/..//b' resolves to '/b' in
+    urljoin but '//b' under the RFC buffer algorithm canonicalize_url
+    implements), so "concat + canonicalize" provably differs from
+    "urljoin + canonicalize" on that class (150k fresh-seed fuzz finds,
+    scripts/fuzz_urls.py P1). canonicalize_url itself stays RFC-faithful —
+    the url crate applies RFC removal at parse time — the quirk belongs to
+    the urljoin-based golden JOIN only."""
+    if _UNSAFE_HREF_RE.search(href_stripped) is not None or "/." in href_stripped:
         return join_url(base, href_stripped)
     if href_stripped.startswith(("http://", "https://")):
         if is_canonical_fast(href_stripped):

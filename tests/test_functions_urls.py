@@ -220,6 +220,15 @@ def test_join_url_fast_differential_fixed_cases():
         # (50k-fuzz find, scripts/fuzz_urls.py P1)
         "/\x0c#", "/!\xa0?", "/\\ #", "/a\x0b?", "/a #", "/a　#",
         "https://b.de/x\x0c#", "/x\x7fy",
+        # a trailing '.' after EMPTY segments must leave a trailing empty
+        # segment ('/ba///.' -> '/ba///'): _remove_dot_segments used to
+        # drop it when the output already ended with '' (150k fresh-seed
+        # fuzz find, scripts/fuzz_urls.py P1)
+        "/ba///.", "/a//.", "/a//..", "/a///..", "//a//.", "/.//",
+        "https://b.de/ba///.", "/a/.//b",
+        # CPython urljoin deviates from RFC 3986 dot-removal when '..'
+        # sits next to empty segments — all dot-segment hrefs decline
+        "/..//b", "/..//b\\/a-\\.", "/.././/x", "/a/..//", "/../..",
         "https://b.de/abs", "HTTP://B.DE/Abs", "https://b.de:443/abs",
         "relative/path", "../up", "?just-query", "#just-frag", "",
         "mailto:x@y.de", "javascript:void(0)", "  /spaced  ",
@@ -339,3 +348,17 @@ def test_canonicalize_rejects_whitespace_control_hosts_and_is_idempotent():
         c = canonicalize_url(raw)
         if c is not None:
             assert canonicalize_url(c) == c, (raw, c)
+
+
+def test_canonicalize_rejects_authorityless_double_slash_paths():
+    """'ftp:////A' parses as netloc='' + path='//A'; urlunsplit would emit
+    'ftp://A', whose re-parse promotes the path to the AUTHORITY — no
+    canonical fixed point exists, so canonicalize_url returns None (the
+    url crate errors on the empty host too). Fuzz find (P3)."""
+    from crawler_german_localpoliticans_spark.functions.urls import canonicalize_url
+
+    for raw in ["ftp:////A", "ftp:///\n/A", "foo:////x", "ftp://///"]:
+        assert canonicalize_url(raw) is None, raw
+    # single-slash authority-less paths still canonicalize (and stay fixed)
+    c = canonicalize_url("ftp:///A")
+    assert c == "ftp:///A" and canonicalize_url(c) == c

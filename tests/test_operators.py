@@ -407,3 +407,32 @@ def test_pack_sequences_matches_python_reference(spark):
         for p in range(pid, pid + k)
     )
     assert sorted((r["doc_id"], r["pack_id"]) for r in rows_out) == expect_rows
+
+
+def test_winnow_batch_parity_hypothesis():
+    """Randomized winnow_batch == winnow_py differential over adversarial
+    text (controls, unicode whitespace, astral chars, lone-surrogate-free
+    but high codepoints) — the kernel hashes raw codepoints, so the
+    alphabet stresses the utf-32 encode path and window/guard edges around
+    the 16/4 boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        winnow_batch,
+        winnow_py,
+    )
+
+    alphabet = "ab \t\n\xa0äß　\U0001F600́x."
+    texts_st = st.lists(
+        st.text(alphabet=alphabet, max_size=40), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts=texts_st)
+    def run(texts):
+        got = winnow_batch(texts)
+        for t, g in zip(texts, got):
+            assert g == winnow_py(t), repr(t)
+
+    run()

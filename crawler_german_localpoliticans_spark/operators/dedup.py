@@ -215,6 +215,40 @@ def minhash_signatures_xx(
 LSH_MAX_BUCKET = 5000
 
 
+def banded_signatures(
+    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(id, band, bh) — one row per LSH band per signature; bh = xxhash64
+    of the band's signature slice (band-hash equality <=> band slice
+    equality). Shared by the batch pair join (lsh_candidate_pairs) and the
+    streaming candidate operator (streaming/neardup.py). Null signatures
+    (docs with no shingles) are dropped: their null band hashes can never
+    equal anything."""
+    return (
+        sigs.where(F.col("sig").isNotNull())
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)],
+                                )
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", "bb.band", "bb.bh")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = LSH_BANDS,
@@ -250,22 +284,7 @@ def lsh_candidate_pairs(
     """
     from pyspark.sql.window import Window
 
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    banded = banded_signatures(sigs, bands, rows)
 
     if max_bucket_size is None:
         head, overflow_pairs = banded, None

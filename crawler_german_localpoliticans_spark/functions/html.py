@@ -73,6 +73,15 @@ _HTML_DECL_OR_UPPER_RE = _re.compile(r"<[A-Z!?]")
 _RAWTEXT_SPAN_RE = _re.compile(r"<(script|style)>(.*?)</\1>", _re.DOTALL)
 _SIMPLE_ANCHOR_RE = _re.compile(r'<a href="([^"<>]*)">')
 _ANY_ANCHOR_RE = _re.compile(r"<a[\s>/]")
+# tag-open/close run that reaches another '<' before any '>': html.parser
+# consumes a (possibly malformed) tag up to the next '>', SWALLOWING any
+# '<a href=...>' inside it ('<wort<a href="x">' yields NO link from the
+# golden parse — the anchor's '>' terminates the broken '<wort' tag).
+# The anchor-count guard can't see this, so any such run declines the
+# fast path. '</' + NON-letter is html.parser's bogus-comment mode, which
+# consumes to '>' the same way, so ANY '</' run counts (both found by
+# scripts/fuzz_html.py; pinned in tests/test_functions_html.py).
+_TAG_SWALLOW_RE = _re.compile(r"<(?:/[^<>]*|[a-z][^<>]*)<")
 
 
 def _strip_rawtext_spans(html: str) -> tuple[str, str] | None:
@@ -117,6 +126,8 @@ def _extract_links_fast(html: str) -> list[str] | None:
     if stripped is None:
         return None
     _, rem = stripped
+    if _TAG_SWALLOW_RE.search(rem) is not None:
+        return None
     links = _SIMPLE_ANCHOR_RE.findall(rem)
     if len(_ANY_ANCHOR_RE.findall(rem)) != len(links):
         return None

@@ -194,6 +194,18 @@ def test_extract_links_fast_path_differential_fixed():
         '<script>unterminated <a href="/in">',       # unterminated rawtext
         '<a href="/x>broken quote',                  # '>' in value / broken
         '<a>no href</a>',                            # anchor without href
+        # malformed tag-open runs that reach another '<' before any '>':
+        # html.parser swallows the following anchor into the broken tag
+        # ('<wort<a href="x">' collects NO link) — the anchor-count guard
+        # cannot see this (scripts/fuzz_html.py find, round 4)
+        '<wort<a href="x">',
+        '<b=junk<a href="x">',
+        '<a href="x"><wort<a href="y">',
+        '</wort<a href="x">',
+        '<p<p><a href="x">',
+        # '</' + non-letter = bogus-comment mode, same swallow
+        '<-/</\'ba<a href="">',
+        '</ <a href="x">',
     ]
     for h in declines:
         assert _extract_links_fast(h) is None, h

@@ -351,6 +351,9 @@ def extract_text(html: str | bytes | None) -> str:
     return " ".join("".join(collector.chunks).split())
 
 
+_SIMPLE_ATTRNAME_RE = _re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:.-]*")
+
+
 class _ReparseSensitive(Exception):
     """A text chunk contains a literal '<': once serialized adjacent to the
     next tag it could re-lex as markup (e.g. raw input '<p><wort' stores
@@ -385,6 +388,15 @@ def _dom_text(node: object, chunks: list[str]) -> None:
     if isinstance(node, _Comment):
         return
     assert isinstance(node, _Node)
+    # Attr VALUES serialize through escape(), but attr NAMES go out raw —
+    # html.parser's tolerant attrfind can produce names containing
+    # quotes/'>'/'=' (markup soup like <a\taä'="b>), whose serialized
+    # form re-lexes with the tag ending early. The walk cannot reproduce
+    # that re-lex, so any non-simple attr name takes the contract path
+    # (scripts/fuzz_html.py P1 find, round 4).
+    for name, _value in node.attrs:
+        if _SIMPLE_ATTRNAME_RE.fullmatch(name) is None:
+            raise _ReparseSensitive
     if node.tag in RAWTEXT_ELEMENTS:
         return
     is_block = node.tag in BLOCK_ELEMENTS

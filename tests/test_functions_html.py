@@ -100,6 +100,13 @@ def test_extract_text_empty():
 # --------------------------------------------------------------------------
 
 _ADVERSARIAL = [
+    # exotic attr NAMES (quotes/'>'/'=') serialize raw and re-lex with the
+    # tag ending early — the DOM walk must decline to the contract path
+    # (scripts/fuzz_html.py P1 find, round 4)
+    'ä\'="b>;<a\taä\'="b>;<a\t<a href=x>',
+    "<p '>x</p>after",
+    '<a ="v">t</a>',
+    "<div a=b c>txt</div>",
     "",
     "kein html nur text",
     "<p>a &amp; b &uuml; &#38; &#x26; &unknownent; &amp x</p>",

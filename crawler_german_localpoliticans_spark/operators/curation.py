@@ -203,7 +203,14 @@ def _bench_gram_join_side(
         counted = bench_grams.persist()
         decision = counted.count() <= broadcast_max_grams
         _BENCH_GRAM_DECISIONS[key] = decision
-        bench_grams = counted  # reuse the persisted set for this first call
+        # release the probe cache immediately: the benchmark side is tiny,
+        # so recomputing its gram kernel inside the join costs less than a
+        # cache entry leaked for the session lifetime (review find, r4).
+        # The memo keeps subsequent calls from ever re-counting. NOTE the
+        # guard makes DataFrame CONSTRUCTION run one Spark job (the count)
+        # on the first call per (appId, benchmark plan, n, threshold) key;
+        # pass broadcast_max_grams=None for fully-lazy plan assembly.
+        counted.unpersist()
     return F.broadcast(bench_grams) if decision else bench_grams
 
 

@@ -266,7 +266,17 @@ def lsh_candidate_pairs(
     the list always broadcasts), and ONLY their rows pay a row_number
     window; the first max_bucket_size members of each do the normal
     all-pairs equi-join, and every overflow member contributes exactly one
-    pair (bucket-representative = min id, overflow id). Measured trade-off
+    pair (bucket-representative = min id, overflow id). NOTE the
+    connectivity guarantee is a property of the CANDIDATE graph: after a
+    similarity-thresholded verification (minhash_dedup_pairs), an
+    overflow member whose only true near-dups sit among the elided
+    head/overflow pairs keeps just its representative link, and if the
+    representative itself is below threshold the member survives
+    verification unpaired. In the mass-duplicate regime the cap targets
+    (one boilerplate text repeated), the representative IS the duplicate
+    (est_jaccard 1.0), so the kept link is the right one; mixed
+    adversarial buckets trade that tail recall for boundedness — raise
+    max_bucket_size if that tail matters. Measured trade-off
     (sf0.1, interleaved min-of-5): this split costs ~1.0s over uncapped at
     toy scale (three extra stages of fixed overhead; a rank-everything
     window costs ~0.45s) — but the window variant SORTS the entire banded
@@ -301,7 +311,12 @@ def lsh_candidate_pairs(
             sizes.where(F.col("_bsz") > max_bucket_size)
             .select("band", "bh", F.lit(True).alias("_over"))
         )
-        flagged = banded.join(F.broadcast(oversized), ["band", "bh"], "left")
+        # no forced broadcast hint: the oversized list is bounded at
+        # n_banded/cap ROWS, but at 1e10 docs x 16 bands on a
+        # mass-duplicated corpus that is still ~3e7 rows — a forced
+        # multi-hundred-MB broadcast. Catalyst/AQE auto-broadcasts it in
+        # the common (tiny) case and shuffle-joins the degenerate one.
+        flagged = banded.join(oversized, ["band", "bh"], "left")
         ok_part = flagged.where(F.col("_over").isNull()).select("id", "band", "bh")
         w = Window.partitionBy("band", "bh").orderBy("id")
         ranked = flagged.where(F.col("_over").isNotNull()).select(
@@ -797,10 +812,17 @@ def connected_components(
     labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
         F.col("u").alias("id"), "cluster_id"
     )
-    return (
+    result = (
         nodes.join(labels, "id", "left")
         .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+        # materialize before releasing the inputs (labels are lazy); also
+        # hands callers a lineage-free table, so repeated use never
+        # re-runs the iteration
+        .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
+    edges.unpersist()
+    return result
 
 
 def neardup_clusters(

@@ -56,8 +56,16 @@ def pack_sequences(
         )
     lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo) + 1
+    # monotone double form, never (id-lo)*buckets on longs: ids spanning
+    # >= 2^58 (e.g. xxhash64-derived ids) would overflow the product and
+    # wrap into NEGATIVE buckets, silently corrupting every offset.
+    # long->double conversion and division are monotone non-decreasing, so
+    # bucket order == id order at any span; ties just share a bucket.
     bucket = (
-        ((lead - F.lit(lo)) * F.lit(buckets) / F.lit(span)).cast("int")
+        F.least(
+            F.floor((lead.cast("double") - float(lo)) / F.lit(float(span)) * buckets),
+            F.lit(buckets - 1),
+        ).cast("int")
         if span > 1
         else F.lit(0)
     )
@@ -84,21 +92,24 @@ def pack_sequences(
     L = F.lit(seq_len).cast("long")
     # `div` (integer division), never `/`: Spark's / goes through double,
     # which silently corrupts offsets past 2^53 — a real regime at corpus
-    # scale (a 100-TB corpus is ~2.5e13 tokens)
+    # scale (a 100-TB corpus is ~2.5e13 tokens). The token count goes
+    # through a fixed-name staging column so the expr never interpolates a
+    # user column name (backticks/reserved words would break the parse).
     return (
         df.join(F.broadcast(offsets_df), "_bucket")
         .withColumn("start_offset", start.cast("long"))
+        .withColumn("_n_tok", n_tok)
         .withColumn("pack_id", F.expr(f"start_offset div {seq_len}"))
         .withColumn("pack_offset", F.col("start_offset") % L)
         .withColumn(
             "n_packs_spanned",
             F.when(n_tok == 0, F.lit(0).cast("long")).otherwise(
-                F.expr(f"(start_offset + {n_tokens_col} - 1) div {seq_len}")
+                F.expr(f"(start_offset + _n_tok - 1) div {seq_len}")
                 - F.col("pack_id")
                 + 1
             ),
         )
-        .drop("_bucket", "_incl", "_offset")
+        .drop("_bucket", "_incl", "_offset", "_n_tok")
     )
 
 

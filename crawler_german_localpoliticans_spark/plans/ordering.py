@@ -64,8 +64,16 @@ def assign_global_seq_counted(
             return df.withColumn(out_col, F.lit(0).cast("long")), 0
         lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo) + 1 if hi is not None else 1
+    # monotone double form, never (lead-lo)*buckets on longs: a lead-column
+    # domain spanning >= 2^58 (hash-derived keys) would overflow the
+    # product and wrap into negative buckets, breaking the bucket-order ==
+    # key-order invariant the offset pass relies on. long->double and
+    # division are monotone, so ordering is preserved at any span.
     bucket = (
-        ((F.col(lead) - F.lit(lo)) * F.lit(buckets) / F.lit(span)).cast("int")
+        F.least(
+            F.floor((F.col(lead).cast("double") - float(lo)) / F.lit(float(span)) * buckets),
+            F.lit(buckets - 1),
+        ).cast("int")
         if span > 1
         else F.lit(0)
     )

@@ -52,18 +52,20 @@ def _bucket_group(
     like the URL-seen stream's first-discovery rule."""
     first_id = state.get[0] if state.exists else None
     band = int(key[0])
-    for pdf in batches:
-        ids = sorted(int(i) for i in pdf["id"])
-        out_ids = []
-        for i in ids:
-            if first_id is None:
-                first_id = i
-            elif i != first_id:
-                out_ids.append(i)
+    # Materialize ALL Arrow chunks before choosing the representative: a
+    # bucket larger than arrow.maxRecordsPerBatch arrives as several
+    # chunks in nondeterministic order, and a per-chunk minimum would make
+    # the stored representative depend on chunk arrival (run-to-run and
+    # retry nondeterminism). The buffer is bounded by the bucket size —
+    # the same bound the batch cap accepts for its oversized-bucket
+    # window (review find, round 4).
+    ids = sorted({int(i) for pdf in batches for i in pdf["id"]})
+    if ids:
+        if first_id is None:
+            first_id = ids[0]
+        out_ids = [i for i in ids if i != first_id]
         if out_ids:
-            yield pd.DataFrame(
-                {"id": out_ids, "first_id": first_id, "band": band}
-            )
+            yield pd.DataFrame({"id": out_ids, "first_id": first_id, "band": band})
     state.update((first_id,))
 
 

@@ -350,7 +350,10 @@ def test_substring_dup_pairs_and_stop_fp_cap(spark):
         for r in substring_dup_pairs(docs, "doc_id", "text", min_shared=2).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
-    assert all(k == (1, 2) or 3 not in k or pairs[k] >= 2 for k in pairs)
+    # doc 4 shares nothing substantial; any pair must be among docs 1-3
+    # (doc 3 MAY legitimately pair via the shared footer in uncapped mode)
+    assert set(pairs) <= {(1, 2), (1, 3), (2, 3)}
+    assert not any(4 in k for k in pairs)
 
     # stop-fp cap: with max_fp_freq=2 the footer fingerprints (df=3) are
     # excluded, so doc 3 pairs with nobody; (1,2) still pairs via `shared`
@@ -436,3 +439,25 @@ def test_winnow_batch_parity_hypothesis():
             assert g == winnow_py(t), repr(t)
 
     run()
+
+
+def test_pack_sequences_wide_hash_id_domain(spark):
+    """Bucketing must stay monotone for hash-scale id domains: ids near
+    +/- 2^62 would overflow a naive (id-lo)*buckets product into negative
+    buckets and corrupt every offset."""
+    from pyspark.sql import functions as F
+
+    from crawler_german_localpoliticans_spark.operators.packing import pack_sequences
+
+    ids = [-(2**62), -(2**40), -17, 0, 3, 2**41, 2**62, 2**62 + 5]
+    rows = [(i, 10 + j) for j, i in enumerate(sorted(ids))]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in pack_sequences(df, "doc_id", "n_tokens", 16, buckets=4).collect()
+    }
+    start, expect = 0, {}
+    for i, n in rows:
+        expect[i] = start
+        start += n
+    assert got == expect

@@ -382,6 +382,30 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed stratified sampling (operators/sampling.py):
+    keep iff crc32(doc_id + ':5') < per-source fraction * 2^32 — the
+    reproducible hash-Bernoulli every large pipeline uses instead of RNG.
+    The oracle recomputes the exact same CRC-32 decision in SQL."""
+    from crawler_german_localpoliticans_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fractions = {"src0": 1.0, "src3": 0.5, "src7": 0.25, "src12": 0.1}
+    return stratified_sample(docs, "doc_id", "source", fractions, salt=5).select(
+        "doc_id", "source"
+    )
+
+
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per-source doc count, n_chars weight and
+    integral ppm share — the input to a training-mix decision."""
+    from crawler_german_localpoliticans_spark.operators.sampling import source_mix
+
+    return source_mix(_docs(spark, sf_dir), "source", "n_chars")
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing over the documents table: whitespace
     token counts (the token_count contract), deterministic doc_id-order
@@ -878,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "substring_dup": _q_substring_dup,
         "pack_sequences": _q_pack_sequences,
+        "sample_stratified": _q_sample_stratified,
+        "source_mix": _q_source_mix,
         "keyword_gate": _q_keyword_gate,
         "posexplode_tokens": _q_posexplode_tokens,
         "ledger_events": _q_ledger_events,
@@ -1013,6 +1039,10 @@ _CRC32_EXPR = """xor(list_reduce(list_prepend(4294967295::UBIGINT,
         list_transform(range(1, length({col}) + 1), i -> unicode({col}[i])::UBIGINT){extra}),
         (crc, b) -> xor(crc >> 8, tab[(1 + (xor(crc, b) & 255))::BIGINT])),
         4294967295::UBIGINT)"""
+
+
+# crc32 of the sampling key column `s` (digits + ':' — pure ASCII)
+_CRC32_EXPR_SAMPLE = _CRC32_EXPR.format(col="s", extra="")
 
 
 def _minhash_neardup_oracle_sql() -> str:
@@ -1879,6 +1909,40 @@ def oracle_sql() -> dict[str, str]:
         # positional tie-breaks are value-irrelevant for a SET), the
         # stop-fp document-frequency cap (<= 1000), and the fp self-join.
         # Mirrors operators/textstats.py winnow_batch / substring_dup_pairs.
+        # Keyed-sampling oracle: the same crc32("<doc_id>:<salt>") <
+        # fraction * 2^32 decision, CRC-32 via the inline table (digits and
+        # ':' are ASCII, so the unicode-byte form is exact).
+        "sample_stratified": rf"""
+            WITH t AS (SELECT {_crc32_table_sql()}::UBIGINT[] AS tab),
+            keyed AS (
+                SELECT doc_id, source,
+                       CAST(doc_id AS VARCHAR) || ':5' AS s
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, source,
+                       {_CRC32_EXPR_SAMPLE} AS hv
+                FROM keyed, t
+            )
+            SELECT doc_id, source FROM h
+            WHERE hv < CASE source
+                WHEN 'src0'  THEN 4294967296
+                WHEN 'src3'  THEN 2147483648
+                WHEN 'src7'  THEN 1073741824
+                WHEN 'src12' THEN 429496729
+                ELSE 0 END
+        """,
+        "source_mix": """
+            WITH agg AS (
+                SELECT source AS stratum, count(*) AS n_docs,
+                       SUM(n_chars)::BIGINT AS weight
+                FROM documents GROUP BY source
+            )
+            SELECT stratum, n_docs, weight,
+                   CAST(round(weight * 1000000.0 / (SELECT SUM(weight) FROM agg))
+                        AS BIGINT) AS share_e6
+            FROM agg
+        """,
         # Packing oracle: the windowed SUM form the two-pass bucketed
         # prefix sum is provably equal to; integer div/mod throughout.
         "pack_sequences": rf"""

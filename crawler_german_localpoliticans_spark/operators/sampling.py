@@ -1,0 +1,136 @@
+"""Deterministic sampling and training-mix shaping.
+
+Large-corpus pipelines never use RNG sampling: a keyed HASH decides each
+row's fate, so the sample is (a) reproducible across runs/retries/engines,
+(b) stable under repartitioning (no per-partition RNG state), and (c)
+consistent across derived tables — sampling documents and their embeddings
+by the same key keeps them aligned. The hash here is CRC-32 over
+"<key>:<salt>" (the repo's portability primitive: zlib == JVM CRC32 ==
+Spark F.crc32 == the DuckDB inline-table oracle), so the decision is a
+pure JVM Column — whole-stage codegen, no Python, no shuffle — and every
+sample is value-hash verifiable in SQL.
+
+  keep(row)  <=>  crc32(str(key) + ":" + str(salt)) < fraction * 2^32
+
+Changing `salt` draws an independent sample; `fraction` is honored in
+expectation per stratum (crc32 of distinct keys is uniform enough for
+corpus work; for adversarial keys switch the salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 32
+
+
+def _keep_col(key_col, salt: int, fraction: float):
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _HASH_SPACE)
+    h = F.crc32(F.encode(F.concat(key_col.cast("string"), F.lit(f":{salt}")), "UTF-8"))
+    return h < F.lit(threshold)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Keyed Bernoulli sample: keeps each row iff its key hashes below the
+    fraction threshold. Pure Column filter — pushes down to the scan where
+    the key is a stored column."""
+    return df.where(_keep_col(F.col(key_col), salt, fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum keyed sampling (the training-mix shaping step: e.g.
+    keep 100% of books, 10% of common-crawl). Strata absent from
+    `fractions` get `default_fraction` (0.0 = drop, the safe default for
+    an explicit mix). The per-stratum threshold is a literal CASE chain —
+    strata counts are small by definition (sources, languages), so this
+    stays one codegen stage with no join."""
+    for stratum, fraction in fractions.items():
+        if not (0.0 <= fraction <= 1.0):
+            raise ValueError(f"fraction for {stratum!r} must be in [0, 1], got {fraction}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    threshold = F.lit(int(default_fraction * _HASH_SPACE))
+    for stratum, fraction in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(fraction * _HASH_SPACE))
+        ).otherwise(threshold)
+    h = F.crc32(
+        F.encode(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}")), "UTF-8")
+    )
+    return df.where(h < threshold)
+
+
+def source_mix(df: DataFrame, strata_col: str, weight_col: str | None = None) -> DataFrame:
+    """(stratum, n_docs, weight, share_e6) — the corpus composition report
+    a mix decision starts from. `weight_col` (e.g. a token count) defaults
+    to document count; share_e6 = round(weight / total * 1e6) so the
+    column is integral and hash-comparable. One hash groupBy plus a scalar
+    total (window over a single row group — broadcast-sized)."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(w).alias("weight")
+    )
+    total = agg.agg(F.sum("weight").alias("_t"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "n_docs",
+            "weight",
+            F.round(F.col("weight") / F.col("_t") * 1_000_000)
+            .cast("long")
+            .alias("share_e6"),
+        )
+    )
+
+
+def rebalance_fractions(
+    current: dict[str, float], target: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum sampling fractions that move an observed mix to a target
+    mix by DOWNSAMPLING only (no stratum is upweighted past keeping all of
+    it — duplication is a training-recipe choice, not a sampling one).
+
+    current: stratum -> observed weight (any positive scale)
+    target:  stratum -> desired share (any positive scale; normalized)
+
+    Returns the largest fractions f_s in (0, 1] such that the sampled
+    weights current_s * f_s are IN the target proportion: the binding
+    stratum (smallest current share relative to target share) keeps
+    fraction 1.0 and everything else downsamples to match. Strata missing
+    from `target` get 0.0. Driver-side arithmetic — strata are few."""
+    tot_t = sum(v for v in target.values() if v > 0)
+    if tot_t <= 0:
+        raise ValueError("target must contain a positive share")
+    fractions: dict[str, float] = {}
+    # scale k = min over strata of current_s / target_share_s ensures
+    # f_s = k * target_share_s / current_s <= 1 with equality at the
+    # binding stratum
+    k = None
+    for s, t in target.items():
+        if t <= 0:
+            continue
+        c = current.get(s, 0.0)
+        if c <= 0:
+            raise ValueError(f"target stratum {s!r} has no current weight")
+        ratio = c / (t / tot_t)
+        k = ratio if k is None else min(k, ratio)
+    for s in current:
+        t = target.get(s, 0.0)
+        if t <= 0:
+            fractions[s] = 0.0
+        else:
+            fractions[s] = min(1.0, k * (t / tot_t) / current[s])
+    return fractions

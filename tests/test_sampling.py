@@ -1,0 +1,75 @@
+"""Deterministic sampling + mix shaping (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from crawler_german_localpoliticans_spark.operators import sampling
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_deterministic_sample_matches_python_rule_and_is_stable(spark):
+    docs = _docs(spark)
+    frac, salt = 0.3, 7
+    got = sorted(r["doc_id"] for r in
+                 sampling.deterministic_sample(docs, "doc_id", frac, salt).collect())
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    thr = int(frac * 2**32)
+    expect = sorted(i for i in all_ids if zlib.crc32(f"{i}:{salt}".encode()) < thr)
+    assert got == expect and 0 < len(got) < len(all_ids)
+    # repartitioning does not change the sample (keyed, not RNG)
+    got2 = sorted(r["doc_id"] for r in
+                  sampling.deterministic_sample(docs.repartition(17), "doc_id", frac, salt).collect())
+    assert got2 == got
+    # a different salt draws a different (but same-rule) sample
+    got3 = sorted(r["doc_id"] for r in
+                  sampling.deterministic_sample(docs, "doc_id", frac, salt + 1).collect())
+    assert got3 != got
+    # fraction edges
+    assert sampling.deterministic_sample(docs, "doc_id", 1.0).count() == len(all_ids)
+    assert sampling.deterministic_sample(docs, "doc_id", 0.0).count() == 0
+
+
+def test_stratified_sample_per_stratum_rule(spark):
+    docs = _docs(spark)
+    fr = {"src0": 1.0, "src1": 0.4}
+    out = sampling.stratified_sample(docs, "doc_id", "source", fr, salt=3).collect()
+    rows = docs.select("doc_id", "source").collect()
+    thr = {s: int(f * 2**32) for s, f in fr.items()}
+    expect = sorted(
+        r["doc_id"] for r in rows
+        if zlib.crc32(f'{r["doc_id"]}:3'.encode()) < thr.get(r["source"], 0)
+    )
+    assert sorted(r["doc_id"] for r in out) == expect
+    # default_fraction=0 drops unlisted strata entirely
+    assert all(r["source"] in fr for r in out)
+
+
+def test_source_mix_and_rebalance(spark):
+    docs = _docs(spark)
+    mix = {r["stratum"]: r["weight"] for r in
+           sampling.source_mix(docs, "source", "n_chars").collect()}
+    expect = {r["source"]: 0 for r in docs.select("source").distinct().collect()}
+    for r in docs.select("source", "n_chars").collect():
+        expect[r["source"]] += r["n_chars"]
+    assert mix == expect
+
+    current = {"web": 900.0, "books": 50.0, "news": 50.0}
+    target = {"web": 0.5, "books": 0.25, "news": 0.25}
+    fr = sampling.rebalance_fractions(current, target)
+    # books/news are binding (keep all); web downsamples to hold 50% share
+    assert fr["books"] == 1.0 and fr["news"] == 1.0
+    sampled = {s: current[s] * fr[s] for s in current}
+    tot = sum(sampled.values())
+    for s, t in target.items():
+        assert abs(sampled[s] / tot - t) < 1e-9
+    # strata missing from target are dropped
+    fr2 = sampling.rebalance_fractions({"a": 1.0, "junk": 5.0}, {"a": 1.0})
+    assert fr2 == {"a": 1.0, "junk": 0.0}

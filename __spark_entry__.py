@@ -406,6 +406,22 @@ def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(_docs(spark, sf_dir), "source", "n_chars")
 
 
+def _q_substring_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full substring-dup pipeline: winnowed candidates
+    (substring_dup_pairs) -> EXACT verification via full window-hash set
+    intersection (substring_overlap) — shared_windows lower-bounds shared
+    contiguous content by L - window + 1. The oracle re-derives candidates
+    AND the intersection counts entirely in SQL."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        substring_dup_pairs,
+        substring_overlap,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = substring_dup_pairs(docs, "doc_id", "text", min_shared=2, max_fp_freq=1000)
+    return substring_overlap(docs, cands, "doc_id", "text")
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing over the documents table: whitespace
     token counts (the token_count contract), deterministic doc_id-order
@@ -901,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "substring_dup": _q_substring_dup,
+        "substring_dup_verified": _q_substring_dup_verified,
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
         "source_mix": _q_source_mix,
@@ -2004,6 +2021,60 @@ def oracle_sql() -> dict[str, str]:
             FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 2
+        """,
+        # substring_dup candidates + exact window-hash-set intersection
+        # (operators/textstats.py substring_overlap): the whs CTE is the
+        # FULL rolling-hash list (un-winnowed); zero-overlap candidates
+        # keep an explicit 0 row.
+        "substring_dup_verified": """
+            WITH codes AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(text) + 1),
+                                      i -> CAST(unicode(text[i]) AS HUGEINT)) AS cs,
+                       length(text) AS n
+                FROM documents
+            ),
+            whs AS (
+                SELECT doc_id, n,
+                       CASE WHEN n = 0 THEN [CAST(0 AS HUGEINT)]
+                            WHEN n < 16 THEN [list_reduce(cs, (acc, x) ->
+                                (acc * 257 + x) % 2305843009213693951)]
+                            ELSE list_transform(range(1, n - 14),
+                                i -> list_reduce(cs[i:i+15], (acc, x) ->
+                                    (acc * 257 + x) % 2305843009213693951))
+                       END AS wh
+                FROM codes
+            ),
+            sel AS (
+                SELECT doc_id,
+                       CASE WHEN len(wh) <= 4 THEN [list_min(wh)]
+                            ELSE list_distinct(list_transform(range(1, len(wh) - 2),
+                                j -> list_min(wh[j:j+3])))
+                       END AS fps
+                FROM whs
+            ),
+            fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            kept AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
+            fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN kept USING (fp)),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING count(*) >= 2
+            ),
+            wdist AS (
+                SELECT doc_id, unnest(list_distinct(wh)) AS w FROM whs
+            ),
+            counts AS (
+                SELECT c.id_a, c.id_b, count(*) AS shared_windows
+                FROM cand c
+                JOIN wdist wa ON wa.doc_id = c.id_a
+                JOIN wdist wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT c.id_a, c.id_b,
+                   COALESCE(counts.shared_windows, 0) AS shared_windows
+            FROM cand c LEFT JOIN counts USING (id_a, id_b)
         """,
         "keyword_gate": f"""
             SELECT doc_id, ({gate_cond}) AS keyword_hit FROM documents

@@ -452,16 +452,10 @@ def winnow_py(text: str, window: int = FP_WINDOW, guard: int = FP_GUARD) -> list
     return sorted(sel)
 
 
-def winnow_batch(
-    texts: list[str], window: int = FP_WINDOW, guard: int = FP_GUARD
-) -> list[list[int]]:
-    """Vectorized winnowed fingerprint sets for a batch — the same
-    prefix-hash formulation as fingerprint_batch (which stays frozen as the
-    min-gram parity surface): one mulmod per character to build the
-    weighted codepoint array, one per window for the window hashes, then a
-    per-document stride-view sliding minimum (guard is small, so the
-    O(n_windows * guard) min is a handful of vectorized compares) and a
-    unique. Parity with winnow_py is pinned by tests."""
+def _batch_window_hash_arrays(texts: list[str], window: int):
+    """Shared machinery for winnow_batch / window_hashes_batch: per-doc
+    numpy arrays of all `window`-char rolling hashes (None for empty docs,
+    the doc_hash int for docs shorter than the window)."""
     texts = [t if isinstance(t, str) else "" for t in texts]
     n_docs = len(texts)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
@@ -469,7 +463,7 @@ def winnow_batch(
     np.cumsum(lens, out=offsets[1:])
     total = int(offsets[-1])
     if total == 0:
-        return [[0] for _ in range(n_docs)]
+        return [None] * n_docs
 
     codes = np.frombuffer(
         "".join(texts).encode("utf-32-le", "surrogatepass"), dtype=np.uint32
@@ -489,8 +483,6 @@ def winnow_batch(
     np.cumsum(w_arr >> np.uint64(32), out=cs_hi[1:])
     np.cumsum(w_arr & _MASK32, out=cs_lo[1:])
 
-    # all window hashes at every global position (garbage across doc
-    # boundaries — sliced away per document below)
     n_win_total = total - window + 1
     wh = np.empty(max(n_win_total, 0), dtype=np.uint64)
     for s in range(0, max(n_win_total, 0), _FP_CHUNK):
@@ -500,24 +492,60 @@ def winnow_batch(
         val = _fold61(_shift32_mod(d_hi) + _fold61(d_lo))
         wh[s:e] = _mulmod61(pows[rel[s:e] + (window - 1)], val)
 
-    out: list[list[int]] = []
+    out = []
     for d in range(n_docs):
         n = int(lens[d])
         if n == 0:
-            out.append([0])
+            out.append(None)
             continue
         start, end = int(offsets[d]), int(offsets[d + 1])
         if n < window:
             dh = _mulmod61(pows[n - 1], _seg_value(cs_hi, cs_lo,
                                                    np.int64(start), np.int64(end)))
-            out.append([int(np.int64(dh))])
+            out.append(int(np.int64(dh)))
             continue
-        dwh = wh[start : start + (n - window + 1)]
-        if len(dwh) <= guard:
-            out.append([int(np.int64(dwh.min()))])
-            continue
-        mins = np.lib.stride_tricks.sliding_window_view(dwh, guard).min(axis=1)
-        out.append(sorted(int(v) for v in np.unique(mins).astype(np.int64)))
+        out.append(wh[start : start + (n - window + 1)])
+    return out
+
+
+def window_hashes_batch(
+    texts: list[str], window: int = FP_WINDOW
+) -> list[list[int]]:
+    """Per-doc DISTINCT rolling window-hash sets (sorted) — the exact
+    (un-winnowed) form used for substring-overlap verification. Empty docs
+    -> [0], short docs -> [doc_hash], matching the winnow conventions."""
+    out: list[list[int]] = []
+    for arr in _batch_window_hash_arrays(texts, window):
+        if arr is None:
+            out.append([0])
+        elif isinstance(arr, int):
+            out.append([arr])
+        else:
+            out.append(sorted(int(v) for v in np.unique(arr).astype(np.int64)))
+    return out
+
+
+def winnow_batch(
+    texts: list[str], window: int = FP_WINDOW, guard: int = FP_GUARD
+) -> list[list[int]]:
+    """Vectorized winnowed fingerprint sets for a batch — window hashes
+    from the shared prefix-hash machinery (_batch_window_hash_arrays; the
+    same formulation as fingerprint_batch, which stays frozen as the
+    min-gram parity surface), then a per-document stride-view sliding
+    minimum (guard is small, so the O(n_windows * guard) min is a handful
+    of vectorized compares) and a unique. Parity with winnow_py is pinned
+    by tests."""
+    out: list[list[int]] = []
+    for arr in _batch_window_hash_arrays(texts, window):
+        if arr is None:
+            out.append([0])
+        elif isinstance(arr, int):
+            out.append([arr])
+        elif len(arr) <= guard:
+            out.append([int(np.int64(arr.min()))])
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(arr, guard).min(axis=1)
+            out.append(sorted(int(v) for v in np.unique(mins).astype(np.int64)))
     return out
 
 
@@ -587,4 +615,60 @@ def substring_dup_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def substring_overlap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = FP_WINDOW,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact verification score for substring-dup CANDIDATE pairs:
+    shared_windows = |W(a) ∩ W(b)| where W is the DISTINCT set of all
+    `window`-char rolling hashes (un-winnowed — candidates came from the
+    winnowed subsample, verification uses the full set). A contiguous
+    shared span of L >= window chars contributes L - window + 1 shared
+    windows, so shared_windows >= L - 15 lower-bounds the total shared
+    content; collisions are the usual 2^-61 rolling-hash argument.
+
+    Scale shape: the window-hash explode runs ONLY over documents that
+    appear in a candidate pair (semi-join first) — the expensive exact
+    step is proportional to the candidate set, not the corpus. The
+    intersection is one (fp) self-equi-join restricted to candidate pairs
+    plus one groupBy."""
+    from pyspark.sql import types as T
+
+    cand_ids = (
+        pairs.select(F.col(src).alias("id"))
+        .unionByName(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    cand_docs = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).join(cand_ids, "id")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def whs(texts: pd.Series) -> pd.Series:
+        return pd.Series(window_hashes_batch(list(texts), window))
+
+    fps = cand_docs.select("id", F.explode(whs(F.col("text"))).alias("fp"))
+    a = fps.select(F.col("id").alias(src), F.col("fp").alias("fp"))
+    b = fps.select(F.col("id").alias(dst), F.col("fp").alias("fp"))
+    counts = (
+        pairs.select(src, dst)
+        .join(a, src)
+        .join(b, [dst, "fp"])
+        .groupBy(src, dst)
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    # candidates with ZERO shared windows are a verification verdict, not
+    # an absence — keep them as explicit 0 rows
+    return (
+        pairs.select(src, dst)
+        .join(counts, [src, dst], "left")
+        .select(src, dst, F.coalesce("shared_windows", F.lit(0)).alias("shared_windows"))
     )

@@ -461,3 +461,33 @@ def test_pack_sequences_wide_hash_id_domain(spark):
         expect[i] = start
         start += n
     assert got == expect
+
+
+def test_substring_overlap_verification(spark):
+    """substring_overlap == python set-intersection reference, including
+    zero-overlap verdict rows, and the span lower bound holds: a shared
+    contiguous span of length L contributes >= L - window + 1 windows."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        FP_WINDOW,
+        substring_overlap,
+        window_hashes_batch,
+    )
+
+    shared = "dieser gemeinsame abschnitt ist deutlich laenger als ein fenster"
+    rows = [
+        (1, "anfang eins " + shared + " ende eins"),
+        (2, "zwei voellig anders " + shared + " zwei ende"),
+        (3, "nichts gemeinsam hier in diesem dritten text"),
+        (4, "kurz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (3, 4)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_windows"]
+        for r in substring_overlap(docs, pairs, "doc_id", "text").collect()
+    }
+    W = {i: set(window_hashes_batch([t])[0]) for i, t in rows}
+    expect = {(a, b): len(W[a] & W[b]) for a, b in [(1, 2), (1, 3), (3, 4)]}
+    assert got == expect
+    assert got[(1, 2)] >= len(shared) - FP_WINDOW + 1
+    assert got[(1, 3)] == 0 and got[(3, 4)] == 0

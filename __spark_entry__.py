@@ -69,6 +69,7 @@ def _session_key(spark: SparkSession) -> str:
 
 
 _CRAWL_CACHE: dict[tuple[str, str, int], object] = {}
+_FL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _flagship_tables(spark: SparkSession, sf_dir: str, max_depth: int = 2):
@@ -137,16 +138,21 @@ def _q_found_links_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages, _, _ = corpus_from_documents(spark, sf_dir)
-    out = with_found_links(pages, "url", "html", "fl")
     # Optimization barrier (with_found_links docstring): exploding its
     # output directly lets InferFiltersFromGenerate push an inferred
     # size()>0 filter down BY SUBSTITUTION, duplicating the whole
     # decode/regex expression tree plus a second python-UDF stage
     # (measured 5x). Persist the pruned (url, fl) projection — html is
     # dropped so the cache holds only the link arrays — and explode from
-    # the InMemoryRelation, which the rule cannot see through.
-    out = out.select("url", "fl").persist()
-    return out.select("url", F.explode("fl").alias("link"))
+    # the InMemoryRelation, which the rule cannot see through. The cache
+    # entry is SESSION-SCOPED (keyed like _IVF_CACHE): rebuilding the query
+    # in a long-lived session reuses the one persisted projection instead
+    # of leaking a fresh one per call.
+    key = (_session_key(spark), sf_dir)
+    if key not in _FL_CACHE:
+        out = with_found_links(pages, "url", "html", "fl")
+        _FL_CACHE[key] = out.select("url", "fl").persist()
+    return _FL_CACHE[key].select("url", F.explode("fl").alias("link"))
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -297,6 +297,15 @@ def lsh_candidate_pairs(
     banded = banded_signatures(sigs, bands, rows)
 
     if max_bucket_size is None:
+        if observation is not None:
+            # the cap metrics only exist on the capped branch — attaching
+            # the Observation to nothing would make a caller's obs.get
+            # block forever, so fail loudly instead
+            raise ValueError(
+                "observation requires max_bucket_size (the cap metrics are "
+                "emitted by the capped branch); pass max_bucket_size or drop "
+                "the observation"
+            )
         head, overflow_pairs = banded, None
     else:
         # Find the oversized buckets with one hash-agg, then rank ONLY

@@ -44,10 +44,18 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     lead = F.col(id_col)
+    # the operator runs two eager driver actions (bounds, per-bucket totals)
+    # before the final join — persist the input so a UDF-heavy upstream
+    # (e.g. with_token_counts) executes once for both probes instead of
+    # re-running per action; unpersisted after the result is assembled, so
+    # the caller's action recomputes upstream at most once more and nothing
+    # leaks into a long-lived session
+    df = df.persist()
     bounds = df.agg(
         F.min(lead).alias("lo"), F.max(lead).alias("hi"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     if bounds["n"] == 0:
+        df.unpersist()
         return (
             df.withColumn("start_offset", F.lit(0).cast("long"))
             .withColumn("pack_id", F.lit(0).cast("long"))
@@ -95,7 +103,7 @@ def pack_sequences(
     # scale (a 100-TB corpus is ~2.5e13 tokens). The token count goes
     # through a fixed-name staging column so the expr never interpolates a
     # user column name (backticks/reserved words would break the parse).
-    return (
+    out = (
         df.join(F.broadcast(offsets_df), "_bucket")
         .withColumn("start_offset", start.cast("long"))
         .withColumn("_n_tok", n_tok)
@@ -111,6 +119,8 @@ def pack_sequences(
         )
         .drop("_bucket", "_incl", "_offset", "_n_tok")
     )
+    df.unpersist(blocking=False)
+    return out
 
 
 def pack_assignments(

@@ -75,9 +75,14 @@ def stratified_sample(
 def source_mix(df: DataFrame, strata_col: str, weight_col: str | None = None) -> DataFrame:
     """(stratum, n_docs, weight, share_e6) — the corpus composition report
     a mix decision starts from. `weight_col` (e.g. a token count) defaults
-    to document count; share_e6 = round(weight / total * 1e6) so the
+    to document count; share_e6 = round(weight * 1e6 / total) so the
     column is integral and hash-comparable. One hash groupBy plus a scalar
-    total (window over a single row group — broadcast-sized)."""
+    total (window over a single row group — broadcast-sized).
+
+    The share expression is `weight * 1e6 / total` in exactly that
+    association — the SAME order the DuckDB oracle evaluates — because the
+    two associations can differ by one ulp and flip round() at an exact
+    half boundary (integer weights make those boundaries reachable)."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum(w).alias("weight")
@@ -89,7 +94,7 @@ def source_mix(df: DataFrame, strata_col: str, weight_col: str | None = None) ->
             "stratum",
             "n_docs",
             "weight",
-            F.round(F.col("weight") / F.col("_t") * 1_000_000)
+            F.round(F.col("weight") * F.lit(1_000_000.0) / F.col("_t"))
             .cast("long")
             .alias("share_e6"),
         )

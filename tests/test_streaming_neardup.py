@@ -80,3 +80,79 @@ def test_streaming_candidates_match_batch_buckets_and_survive_restart(spark, tmp
     pairs2 = {(min(r["id"], r["first_id"]), max(r["id"], r["first_id"])) for r in got2}
     assert (1, 9) in pairs2
     assert not any(10 in p for p in pairs2)
+
+
+def test_streaming_bucket_cap_bounds_skewed_bucket(spark, tmp_path):
+    """10^4 copies of one boilerplate text in a SINGLE micro-batch — the
+    degenerate-bucket regime the batch LSH_MAX_BUCKET cap exists for. With
+    the cap well below the bucket size the stream must still (a) emit a
+    connecting row for EVERY member (one connected component through the
+    running-min chain), (b) store the true minimum id as the bucket
+    representative for later waves, and (c) report the overflow loudly via
+    the accumulator."""
+    from crawler_german_localpoliticans_spark.streaming.neardup import (
+        run_neardup_stream,
+    )
+
+    n = 10_000
+    cap = 500  # far below the bucket size so the overflow path carries most rows
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    # ids deliberately NOT in sorted file order: the representative must be
+    # the global min (7), not the first-row id
+    ids = [(i * 7919 + 7) % (20 * n) for i in range(n)]
+    assert len(set(ids)) == n
+    _write(str(in_dir / "w1.parquet"), [(i, BOILER) for i in ids])
+
+    acc = spark.sparkContext.accumulator(0)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+    try:
+        q = run_neardup_stream(
+            spark,
+            str(in_dir),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+            max_bucket_size=cap,
+            overflow_acc=acc,
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    # (a) every doc appears, and the candidate graph is ONE component
+    seen_docs = {r["id"] for r in got} | {r["first_id"] for r in got}
+    assert seen_docs == set(ids)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in got:
+        ra, rb = find(r["id"]), find(r["first_id"])
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in ids}) == 1
+    # (c) the cap actually engaged and was counted
+    assert acc.value > 0
+
+    # (b) a later wave pairs against the stored representative = the true min
+    _write(str(in_dir / "w2.parquet"), [(10 ** 9, BOILER)])
+    acc2 = spark.sparkContext.accumulator(0)
+    q2 = run_neardup_stream(
+        spark,
+        str(in_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        max_bucket_size=cap,
+        overflow_acc=acc2,
+    )
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(str(tmp_path / "out")).collect()
+    w2 = [r for r in got2 if r["id"] == 10 ** 9]
+    assert w2 and all(r["first_id"] == min(ids) for r in w2)
+    assert acc2.value == 0  # a 1-doc wave is far below the cap

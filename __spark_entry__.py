@@ -683,16 +683,39 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return _IVF_CACHE[key]
 
 
+_IVF_SEEDED_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivf_seeded_index(spark: SparkSession, sf_dir: str):
+    from crawler_german_localpoliticans_spark.operators.similarity import ivf_build_seeded
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _IVF_SEEDED_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, centroids = ivf_build_seeded(emb, "vec_id", "embedding", "label")
+        assigned = assigned.persist()
+        assigned.count()
+        _IVF_SEEDED_CACHE[key] = (assigned, centroids)
+    return _IVF_SEEDED_CACHE[key]
+
+
 def _q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF access pattern: nprobe=2 of 8 cells — a
-    partition-pruned scan at scale. Approximate by design, so no SQL oracle
-    (rows-only check); exactness of the machinery is covered by the
-    full-probe ann_ivf invariant above plus the pytest recall test."""
-    assigned, centroids = _ivf_index(spark, sf_dir)
+    """The production IVF access pattern: a PRUNED probe (nprobe=3 of 10
+    cells — a partition-pruned scan at scale), end-to-end value-hash
+    checked. The index is the seeded closed-form build
+    (operators/similarity.py ivf_build_seeded: centroids = per-label
+    per-dim means, assignment = nearest centroid), so the DuckDB oracle
+    replays the ENTIRE pruned path from the raw table — centroid means,
+    argmin cell assignment, nprobe cell selection, and rounded-cosine
+    top-k over exactly the probed cells. ivf_probe/ivf_probe_cells are the
+    same probe machinery the KMeans index uses (whose full-probe ≡
+    brute-force invariant is the ann_ivf oracle); the pytest recall test
+    covers the KMeans pruned path."""
+    assigned, centroids = _ivf_seeded_index(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     from crawler_german_localpoliticans_spark.operators.similarity import ivf_probe
 
-    return ivf_probe(assigned, centroids, "vec_id", "embedding", q, k=5, nprobe=2).select(
+    return ivf_probe(assigned, centroids, "vec_id", "embedding", q, k=5, nprobe=3).select(
         "id", _e6(F.col("score")).alias("score_e6")
     )
 
@@ -1685,9 +1708,9 @@ def oracle_sql() -> dict[str, str]:
         # full LSH-ANN path: bucket assignment from the literal hyperplanes
         # + rounded-cosine top-k inside the query's bucket
         "ann_lsh": _ann_lsh_oracle_sql(),
-        # IVF full-probe invariant: probing ALL cells of a correct index ==
-        # brute-force top-k (the pruned nprobe=2 path is the separate
-        # rows-only ann_ivf_pruned query + pytest recall test)
+        # IVF full-probe invariant: probing ALL cells of a correct KMeans
+        # index == brute-force top-k (KMeans centroids aren't SQL-derivable,
+        # so full-probe equivalence is what hash-checks that machinery)
         "ann_ivf": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)
@@ -1698,6 +1721,59 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
                      DESC, vec_id ASC
+            LIMIT 5
+        """,
+        # PRUNED IVF probe replayed end-to-end: the seeded closed-form index
+        # (centroid = per-label per-dim mean, cell = argmin squared L2 with
+        # lowest-cell tie-break) is pure arithmetic, so the oracle re-derives
+        # centroids, assignment, the nprobe=3 cell choice, AND the top-k over
+        # exactly those cells from the raw table. Parallel unnests zip, so
+        # (value, dimension-index) pairs come from one unnest pass.
+        "ann_ivf_pruned": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
+                FROM embeddings
+            ),
+            dimvals AS (
+                SELECT label,
+                       unnest(ev) AS x,
+                       unnest(range(1, len(ev) + 1)) AS d
+                FROM v
+            ),
+            cmeans AS (
+                SELECT label AS cell, d, avg(x) AS m
+                FROM dimvals GROUP BY label, d
+            ),
+            cent AS (
+                SELECT cell, list(m ORDER BY d) AS cv
+                FROM cmeans GROUP BY cell
+            ),
+            assign AS (
+                SELECT vec_id, ev, cell
+                FROM (
+                    SELECT v.vec_id, v.ev, c.cell,
+                           list_sum(list_transform(range(1, len(v.ev) + 1),
+                               i -> (v.ev[i] - c.cv[i]) ^ 2)) AS d2
+                    FROM v CROSS JOIN cent c
+                )
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cell) = 1
+            ),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 0),
+            probe AS (
+                SELECT c.cell
+                FROM cent c, q
+                ORDER BY list_sum(list_transform(range(1, len(qv) + 1),
+                             i -> (qv[i] - c.cv[i]) ^ 2)), c.cell
+                LIMIT 3
+            )
+            SELECT a.vec_id AS id,
+                   CAST(round(round(list_cosine_similarity(a.ev, qv), 6)
+                        * 1000000) AS BIGINT) AS score_e6
+            FROM assign a JOIN probe USING (cell), q
+            ORDER BY round(list_cosine_similarity(a.ev, qv), 6) DESC,
+                     a.vec_id ASC
             LIMIT 5
         """,
         "ngram_jaccard": r"""

@@ -85,6 +85,37 @@ def test_ivf_full_probe_equals_bruteforce(spark, emb):
     assert [(r["id"], r["score"]) for r in full] == [(r["id"], r["score"]) for r in brute]
 
 
+def test_ivf_seeded_build_matches_numpy_reference(spark, emb):
+    """ivf_build_seeded's closed-form contract, replayed in numpy: centroid
+    = per-label per-dim mean, cell = argmin squared L2 (tie -> lowest cell
+    index), full probe == brute force through the shared probe machinery."""
+    rows = emb.collect()
+    labels = sorted({r["label"] for r in rows})
+    mats = {
+        lab: np.vstack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows if r["label"] == lab]
+        )
+        for lab in labels
+    }
+    ref_cent = np.vstack([mats[lab].mean(axis=0) for lab in labels])
+    assigned, centroids = similarity.ivf_build_seeded(emb, "vec_id", "embedding", "label")
+    got_cent = np.asarray(centroids)
+    assert got_cent.shape == ref_cent.shape
+    assert np.allclose(got_cent, ref_cent, atol=1e-9)
+    got_cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d2 = ((ref_cent - v) ** 2).sum(axis=1)
+        assert got_cells[r["vec_id"]] == int(np.argmin(d2))
+    # full probe through the same machinery == brute force (index is lossless)
+    q = list(rows[0]["embedding"])
+    full = similarity.ivf_probe(
+        assigned, centroids, "vec_id", "embedding", q, k=7, nprobe=len(centroids)
+    ).collect()
+    brute = similarity.cosine_topk_bruteforce(emb, "vec_id", "embedding", q, k=7).collect()
+    assert [(r["id"], r["score"]) for r in full] == [(r["id"], r["score"]) for r in brute]
+
+
 def test_pairwise_topk_blocked(spark, emb):
     out = similarity.pairwise_topk_blocked(emb.limit(60), "vec_id", "embedding", "label", k=2)
     pdf = out.toPandas()

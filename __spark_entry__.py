@@ -428,6 +428,35 @@ def _q_substring_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_overlap(docs, cands, "doc_id", "text")
 
 
+def _q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup loop CLOSED: winnowed candidates -> exact
+    window-hash verification -> pairs with >= 25 shared windows (>= ~40
+    shared chars) -> substring_dedup removes the duplicated spans from the
+    LATER doc of each pair (keep-first policy). Output is the full
+    deduplicated corpus — per doc the before/after char counts AND the
+    deduped text itself, value-hash checked against a DuckDB oracle that
+    replays candidates, verification, span marking, and character removal
+    entirely in SQL."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        substring_dedup,
+        substring_dup_pairs,
+        substring_overlap,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cands = substring_dup_pairs(docs, "doc_id", "text", min_shared=2, max_fp_freq=1000)
+    verified = substring_overlap(docs, cands, "doc_id", "text").where(
+        F.col("shared_windows") >= 25
+    )
+    out = substring_dedup(docs, verified, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_chars_before",
+        "n_chars_after",
+        F.col("text").alias("text_deduped"),
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing over the documents table: whitespace
     token counts (the token_count contract), deterministic doc_id-order
@@ -947,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "substring_dup": _q_substring_dup,
         "substring_dup_verified": _q_substring_dup_verified,
+        "substring_dedup_apply": _q_substring_dedup_apply,
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
         "source_mix": _q_source_mix,
@@ -2157,6 +2187,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.id_a, c.id_b,
                    COALESCE(counts.shared_windows, 0) AS shared_windows
             FROM cand c LEFT JOIN counts USING (id_a, id_b)
+        """,
+        # The dedup ACTION replayed in SQL: same candidate+verification CTEs
+        # as substring_dup_verified, then pairs with >= 25 shared windows,
+        # span marking on the id_b side (a positional window hash of dst
+        # found in any partner's distinct set covers chars [i, i+16)), and
+        # character-level removal via per-position anti-join + string_agg.
+        "substring_dedup_apply": """
+            WITH codes AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(text) + 1),
+                                      i -> CAST(unicode(text[i]) AS HUGEINT)) AS cs,
+                       length(text) AS n
+                FROM documents
+            ),
+            whs AS (
+                SELECT doc_id, n,
+                       CASE WHEN n = 0 THEN [CAST(0 AS HUGEINT)]
+                            WHEN n < 16 THEN [list_reduce(cs, (acc, x) ->
+                                (acc * 257 + x) % 2305843009213693951)]
+                            ELSE list_transform(range(1, n - 14),
+                                i -> list_reduce(cs[i:i+15], (acc, x) ->
+                                    (acc * 257 + x) % 2305843009213693951))
+                       END AS wh
+                FROM codes
+            ),
+            sel AS (
+                SELECT doc_id,
+                       CASE WHEN len(wh) <= 4 THEN [list_min(wh)]
+                            ELSE list_distinct(list_transform(range(1, len(wh) - 2),
+                                j -> list_min(wh[j:j+3])))
+                       END AS fps
+                FROM whs
+            ),
+            fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            kept AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000),
+            fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN kept USING (fp)),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING count(*) >= 2
+            ),
+            wdist AS (
+                SELECT doc_id, unnest(list_distinct(wh)) AS w FROM whs
+            ),
+            verified AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN wdist wa ON wa.doc_id = c.id_a
+                JOIN wdist wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+                GROUP BY c.id_a, c.id_b
+                HAVING count(*) >= 25
+            ),
+            partner AS (
+                SELECT DISTINCT v.id_b AS doc_id, wa.w
+                FROM verified v JOIN wdist wa ON wa.doc_id = v.id_a
+            ),
+            pos AS (
+                SELECT w2.doc_id,
+                       unnest(w2.wh) AS wh_i,
+                       unnest(range(1, len(w2.wh) + 1)) AS i
+                FROM whs w2
+                JOIN (SELECT DISTINCT doc_id FROM partner) t USING (doc_id)
+                WHERE w2.n >= 16
+            ),
+            hits AS (
+                SELECT DISTINCT p.doc_id, p.i
+                FROM pos p
+                JOIN partner q ON q.doc_id = p.doc_id AND q.w = p.wh_i
+            ),
+            cover AS (
+                SELECT DISTINCT doc_id, unnest(range(i, i + 16)) AS p
+                FROM hits
+            ),
+            hitdocs AS (SELECT DISTINCT doc_id FROM hits),
+            chars AS (
+                SELECT d.doc_id,
+                       unnest(range(1, length(d.text) + 1)) AS p,
+                       unnest(list_transform(range(1, length(d.text) + 1),
+                                             i -> d.text[i])) AS ch
+                FROM documents d JOIN hitdocs USING (doc_id)
+            ),
+            strip AS (
+                SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.p) AS newt
+                FROM chars c
+                LEFT JOIN cover v ON v.doc_id = c.doc_id AND v.p = c.p
+                WHERE v.p IS NULL
+                GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   length(d.text)::BIGINT AS n_chars_before,
+                   length(CASE WHEN h.doc_id IS NOT NULL
+                               THEN COALESCE(s.newt, '')
+                               ELSE d.text END)::BIGINT AS n_chars_after,
+                   CASE WHEN h.doc_id IS NOT NULL
+                        THEN COALESCE(s.newt, '')
+                        ELSE d.text END AS text_deduped
+            FROM documents d
+            LEFT JOIN hitdocs h USING (doc_id)
+            LEFT JOIN strip s ON s.doc_id = d.doc_id
         """,
         "keyword_gate": f"""
             SELECT doc_id, ({gate_cond}) AS keyword_hit FROM documents

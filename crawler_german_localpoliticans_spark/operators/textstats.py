@@ -618,6 +618,133 @@ def substring_dup_pairs(
     )
 
 
+def substring_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = FP_WINDOW,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """ACTION side of the substring-dedup loop (closing what
+    substring_dup_pairs -> substring_overlap only scores): for every pair
+    (src, dst) the LATER document (dst — ids are ordered id_a < id_b
+    upstream, the Lee et al. \"Deduplicating Training Data\" keep-first
+    policy) loses its duplicated spans. A `window`-char window of dst
+    whose rolling hash appears in ANY of its src partners' window-hash
+    sets is marked, and every character covered by a marked window is
+    removed; what remains concatenates in order. Returns the FULL corpus:
+    (id_col, text_col deduped, n_chars_before, n_chars_after).
+
+    Semantics pinned by the DuckDB oracle (driver query
+    substring_dedup_apply):
+    - single pass over ORIGINAL texts — partner hash sets are not
+      re-derived from already-deduped output (iterating to a fixed point
+      is a recipe choice, and order-dependent; one pass is deterministic
+      and what the reference policy does),
+    - a dst shorter than `window` passes through unchanged (window
+      semantics don't apply; its whole-doc hash is never a window match),
+    - docs in no pair never enter Python at all.
+
+    Scale shape: everything expensive is proportional to the CANDIDATE
+    set, not the corpus — src window sets explode only over src docs
+    (semi-join), the (dst, fp) partner table is one distinct equi-join,
+    and the strip kernel runs only over dst docs. The collect_set per dst
+    is bounded by (partner count x windows per doc); a hub dst with
+    thousands of partners concentrates its unioned set on one row — the
+    upstream df-cap (max_fp_freq) is what keeps hubs rare, same note as
+    substring_overlap."""
+    from pyspark.sql import types as T
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def whs(texts: pd.Series) -> pd.Series:
+        return pd.Series(window_hashes_batch(list(texts), window))
+
+    # distinct window-hash sets of the keep-side docs, exploded -> joined
+    # through the pair table -> one DISTINCT (dst, fp) partner table
+    keep_ids = pairs.select(F.col(src).alias("id")).distinct()
+    keep_fps = (
+        base.join(keep_ids, "id")
+        .select("id", F.explode(whs(F.col("text"))).alias("fp"))
+    )
+    partner_fps = (
+        pairs.select(F.col(src).alias("id"), F.col(dst).alias("_target"))
+        .join(keep_fps, "id")
+        .select("_target", "fp")
+        .distinct()
+    )
+    partner_sets = partner_fps.groupBy("_target").agg(
+        F.collect_set("fp").alias("_pfps")
+    )
+
+    joined = base.join(partner_sets, base["id"] == partner_sets["_target"], "left")
+    untouched = (
+        joined.where(F.col("_target").isNull())
+        .select(
+            "id",
+            "text",
+            F.length("text").cast("long").alias("n_chars_before"),
+            F.length("text").cast("long").alias("n_chars_after"),
+        )
+    )
+
+    @F.pandas_udf(T.StringType())
+    def strip(texts: pd.Series, pfps: pd.Series) -> pd.Series:
+        arrs = _batch_window_hash_arrays(list(texts), window)
+        out: list[str] = []
+        for t, arr, pf in zip(texts, arrs, pfps):
+            t = t if isinstance(t, str) else ""
+            if arr is None or isinstance(arr, int):
+                out.append(t)  # empty or shorter than the window: unchanged
+                continue
+            pset = np.asarray(pf, dtype=np.int64).astype(np.uint64)
+            hit = np.isin(arr, pset)
+            if not hit.any():
+                out.append(t)
+                continue
+            n = len(t)
+            # interval-union of [i, i+window) via a delta array + cumsum
+            delta = np.zeros(n + 1, dtype=np.int64)
+            idx = np.nonzero(hit)[0]
+            delta[idx] += 1
+            delta[idx + window] -= 1
+            covered = np.cumsum(delta[:n]) > 0
+            chars = np.frombuffer(
+                t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            )
+            out.append(
+                chars[~covered].tobytes().decode("utf-32-le", "surrogatepass")
+            )
+        return pd.Series(out)
+
+    stripped = (
+        joined.where(F.col("_target").isNotNull())
+        .select(
+            "id",
+            F.length("text").cast("long").alias("n_chars_before"),
+            strip(F.col("text"), F.col("_pfps")).alias("text"),
+        )
+        .select(
+            "id",
+            "text",
+            "n_chars_before",
+            F.length("text").cast("long").alias("n_chars_after"),
+        )
+    )
+    return (
+        untouched.unionByName(stripped)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("text").alias(text_col),
+            "n_chars_before",
+            "n_chars_after",
+        )
+    )
+
+
 def substring_overlap(
     docs: DataFrame,
     pairs: DataFrame,

@@ -522,3 +522,65 @@ def test_substring_overlap_verification(spark):
     assert got == expect
     assert got[(1, 2)] >= len(shared) - FP_WINDOW + 1
     assert got[(1, 3)] == 0 and got[(3, 4)] == 0
+
+
+def test_substring_dedup_removes_planted_span_exactly(spark):
+    """substring_dedup byte-exact on a planted shared span: the LATER doc
+    loses exactly the span (every window inside it matches the keeper's
+    set; the boundary windows mix in unique context and don't), the keeper
+    and bystanders are untouched, short docs pass through, and a doc that
+    is BOTH a keeper (id_a) and a loser (id_b elsewhere) only loses spans
+    it shares with ITS keeper."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        substring_dedup,
+    )
+
+    # the chars ADJACENT to the span differ between the two docs (Q/R vs
+    # S/T), so no boundary-straddling window can match and the removal is
+    # exactly the span — with shared boundary chars (e.g. a space on both
+    # sides) coverage would legitimately extend into them
+    span = "gemeinsamer abschnitt der deutlich laenger als ein fenster ist"
+    rows = [
+        (1, "erster eigener anfangQ" + span + "Rerster eigener schluss"),
+        (2, "zweiter hat andere worteS" + span + "Tund eigenes ende zwei"),
+        (3, "unbeteiligter text ohne jede ueberschneidung mit den anderen"),
+        (4, "kurz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["text"], r["n_chars_before"], r["n_chars_after"])
+        for r in substring_dedup(docs, pairs, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # keeper and bystanders byte-identical
+    for i, t in rows:
+        if i != 2:
+            assert got[i] == (t, len(t), len(t))
+    # loser: exactly the planted span excised (windows fully inside the
+    # span match; windows straddling into doc-2-unique context do not)
+    expect2 = "zweiter hat andere worteS" + "Tund eigenes ende zwei"
+    assert got[2][0] == expect2
+    assert got[2] == (expect2, len(rows[1][1]), len(expect2))
+
+    # short doc as the DST of a pair: unchanged (window semantics N/A)
+    pairs2 = spark.createDataFrame([(1, 4)], "id_a long, id_b long")
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in substring_dedup(docs, pairs2, "doc_id", "text").collect()
+    }
+    assert got2[4] == "kurz"
+
+    # total removal: dst a verbatim copy of src -> empty string remains
+    docs3 = spark.createDataFrame(
+        [(1, rows[0][1]), (2, rows[0][1])], "doc_id long, text string"
+    )
+    got3 = {
+        r["doc_id"]: (r["text"], r["n_chars_after"])
+        for r in substring_dedup(
+            docs3, spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert got3[1] == (rows[0][1], len(rows[0][1]))
+    assert got3[2] == ("", 0)

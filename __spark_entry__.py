@@ -412,6 +412,36 @@ def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(_docs(spark, sf_dir), "source", "n_chars")
 
 
+def _q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mix-shaping loop END-TO-END: source_mix (observed composition)
+    -> rebalance_fractions (driver-side downsample-only solver) ->
+    stratified_sample (keyed CRC-32 Bernoulli with the solved per-stratum
+    fractions) -> source_mix again, reporting the ACHIEVED mix. The
+    oracle replays the whole loop in SQL — aggregation, the solver's
+    arithmetic in the exact same float-op order (integer-valued target
+    shares keep the sums exact; every division/multiplication mirrors
+    operators/sampling.py rebalance_fractions), threshold truncation, the
+    CRC-32 keep decision, and the re-aggregation — so the solver itself
+    is hash-checked against the engine, not just unit-tested. Target mix
+    50/30/20 over src0/src1/src2; all other strata drop to 0 (an explicit
+    mix decision)."""
+    from crawler_german_localpoliticans_spark.operators.sampling import (
+        rebalance_fractions,
+        source_mix,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    current = {
+        r["stratum"]: float(r["weight"])
+        for r in source_mix(docs, "source", "n_chars").collect()
+    }
+    target = {"src0": 50.0, "src1": 30.0, "src2": 20.0}
+    fractions = rebalance_fractions(current, target)
+    sampled = stratified_sample(docs, "doc_id", "source", fractions, salt=11)
+    return source_mix(sampled, "source", "n_chars")
+
+
 def _q_substring_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full substring-dup pipeline: winnowed candidates
     (substring_dup_pairs) -> EXACT verification via full window-hash set
@@ -980,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
         "source_mix": _q_source_mix,
+        "mix_rebalance": _q_mix_rebalance,
         "keyword_gate": _q_keyword_gate,
         "posexplode_tokens": _q_posexplode_tokens,
         "ledger_events": _q_ledger_events,
@@ -2071,6 +2102,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(weight * 1000000.0 / (SELECT SUM(weight) FROM agg))
                         AS BIGINT) AS share_e6
             FROM agg
+        """,
+        # The full mix-shaping loop replayed in SQL. Float-op order mirrors
+        # rebalance_fractions EXACTLY (ratio = c / (t / tot_t); f =
+        # least(1.0, k * (t / tot_t) / c); threshold = trunc(f * 2^32)) so
+        # both engines evaluate the identical IEEE doubles; target shares
+        # are integer-valued, keeping their sum exact under any order.
+        "mix_rebalance": rf"""
+            WITH t AS (SELECT {_crc32_table_sql()}::UBIGINT[] AS tab),
+            agg AS (
+                SELECT source AS stratum, count(*) AS n_docs,
+                       SUM(n_chars)::BIGINT AS weight
+                FROM documents GROUP BY source
+            ),
+            tgt(stratum, share) AS (
+                VALUES ('src0', 50.0), ('src1', 30.0), ('src2', 20.0)
+            ),
+            tott AS (SELECT SUM(share) AS ts FROM tgt),
+            ratios AS (
+                SELECT g.stratum,
+                       a.weight::DOUBLE AS c,
+                       g.share / ts AS tshare,
+                       a.weight::DOUBLE / (g.share / ts) AS ratio
+                FROM tgt g JOIN agg a USING (stratum), tott
+            ),
+            kk AS (SELECT MIN(ratio) AS k FROM ratios),
+            thr AS (
+                SELECT stratum,
+                       CAST(trunc(LEAST(1.0, k * tshare / c) * 4294967296.0)
+                            AS BIGINT) AS thr
+                FROM ratios, kk
+            ),
+            keyed AS (
+                SELECT doc_id, source, n_chars,
+                       CAST(doc_id AS VARCHAR) || ':11' AS s
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, source, n_chars, {_CRC32_EXPR_SAMPLE} AS hv
+                FROM keyed, t
+            ),
+            samp AS (
+                SELECT h.doc_id, h.source, h.n_chars
+                FROM h JOIN thr ON thr.stratum = h.source AND h.hv < thr.thr
+            ),
+            agg2 AS (
+                SELECT source AS stratum, count(*) AS n_docs,
+                       SUM(n_chars)::BIGINT AS weight
+                FROM samp GROUP BY source
+            )
+            SELECT stratum, n_docs, weight,
+                   CAST(round(weight * 1000000.0 / (SELECT SUM(weight) FROM agg2))
+                        AS BIGINT) AS share_e6
+            FROM agg2
         """,
         # Packing oracle: the windowed SUM form the two-pass bucketed
         # prefix sum is provably equal to; integer div/mod throughout.

@@ -73,3 +73,30 @@ def test_source_mix_and_rebalance(spark):
     # strata missing from target are dropped
     fr2 = sampling.rebalance_fractions({"a": 1.0, "junk": 5.0}, {"a": 1.0})
     assert fr2 == {"a": 1.0, "junk": 0.0}
+
+
+def test_mix_rebalance_end_to_end_hits_target(spark):
+    """The composed loop (mix -> solver -> sample -> mix) on the engine:
+    the binding stratum keeps fraction 1.0 (downsample-only invariant),
+    dropped strata vanish, and the ACHIEVED shares track the target within
+    finite-sample noise of the keyed Bernoulli."""
+    docs = _docs(spark)
+    current = {
+        r["stratum"]: float(r["weight"])
+        for r in sampling.source_mix(docs, "source", "n_chars").collect()
+    }
+    target = {"src0": 50.0, "src1": 30.0, "src2": 20.0}
+    fr = sampling.rebalance_fractions(current, target)
+    assert max(fr[s] for s in target) == 1.0  # binding stratum keeps all
+    assert all(0.0 <= f <= 1.0 for f in fr.values())
+    assert all(fr[s] == 0.0 for s in fr if s not in target)
+    sampled = sampling.stratified_sample(docs, "doc_id", "source", fr, salt=11)
+    achieved = {
+        r["stratum"]: r["share_e6"]
+        for r in sampling.source_mix(sampled, "source", "n_chars").collect()
+    }
+    assert set(achieved) <= set(target)
+    # keyed Bernoulli over few-hundred docs: shares within ~10 points of
+    # target (the driver oracle checks EXACT replay; this checks intent)
+    for s, t in target.items():
+        assert abs(achieved[s] / 1e6 - t / 100.0) < 0.10

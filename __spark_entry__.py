@@ -505,6 +505,38 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing WRITER: pack_sequences' offsets gathered into actual
+    fixed-length token sequences (seq_len=128 so the corpus yields many
+    packs), one row per pack with the token stream and the in-pack
+    document-start positions. Arrays flatten to \\x1f- / comma-joined
+    strings for the driver's scalar value-hash; the oracle rebuilds every
+    pack from the raw table with a positional unnest + windowed prefix
+    sum."""
+    from crawler_german_localpoliticans_spark.operators.packing import (
+        pack_emit,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.regexp_extract_all("text", F.lit(TOKEN_PAT), 0).alias("toks")
+    )
+    counted = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(counted, "doc_id", "n_tokens", 128)
+    out = pack_emit(packed, toks, "doc_id", "toks", 128)
+    return out.select(
+        "pack_id",
+        "n_tokens",
+        F.concat_ws("\x1f", "tokens").alias("tokens_cat"),
+        F.concat_ws(
+            ",", F.transform("doc_breaks", lambda b: b.cast("string"))
+        ).alias("breaks_cat"),
+    )
+
+
 def _q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication candidates: winnowed fingerprint sets
     (operators/textstats.py winnow_batch — window 16, guard 4, the MOSS
@@ -1008,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_verified": _q_substring_dup_verified,
         "substring_dedup_apply": _q_substring_dedup_apply,
         "pack_sequences": _q_pack_sequences,
+        "pack_emit": _q_pack_emit,
         "sample_stratified": _q_sample_stratified,
         "source_mix": _q_source_mix,
         "mix_rebalance": _q_mix_rebalance,
@@ -2179,6 +2212,48 @@ def oracle_sql() -> dict[str, str]:
                              - start_offset // 2048 + 1
                    END::BIGINT AS n_packs_spanned
             FROM c
+        """,
+        # Writer oracle: the packed streams rebuilt from scratch — global
+        # token positions via the windowed prefix sum + a zipped positional
+        # unnest, packs = GROUP BY p // seq_len with ORDER BY p string_aggs,
+        # breaks = start_offset mod seq_len of every nonempty doc grouped by
+        # its starting pack.
+        "pack_emit": rf"""
+            WITH tc AS (
+                SELECT doc_id, regexp_extract_all(text, '{TOKEN_PAT}') AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks, len(toks)::BIGINT AS n_toks,
+                       COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                           AS start_offset
+                FROM tc
+            ),
+            pos AS (
+                SELECT start_offset + unnest(range(0, len(toks))) AS p,
+                       unnest(toks) AS tok
+                FROM c WHERE n_toks > 0
+            ),
+            packs AS (
+                SELECT p // 128 AS pack_id,
+                       count(*)::INT AS n_tokens,
+                       string_agg(tok, chr(31) ORDER BY p) AS tokens_cat
+                FROM pos GROUP BY p // 128
+            ),
+            br AS (
+                SELECT start_offset // 128 AS pack_id,
+                       start_offset % 128 AS b
+                FROM c WHERE n_toks > 0
+            ),
+            brl AS (
+                SELECT pack_id,
+                       string_agg(CAST(b AS VARCHAR), ',' ORDER BY b) AS breaks_cat
+                FROM br GROUP BY pack_id
+            )
+            SELECT p.pack_id, p.n_tokens, p.tokens_cat,
+                   COALESCE(l.breaks_cat, '') AS breaks_cat
+            FROM packs p LEFT JOIN brl l USING (pack_id)
         """,
         "substring_dup": """
             WITH codes AS (

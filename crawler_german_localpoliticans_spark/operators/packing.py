@@ -143,3 +143,91 @@ def pack_assignments(
             ).alias("pack_id"),
         )
     )
+
+
+def pack_emit(
+    packed: DataFrame,
+    tokens_df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """WRITER stage of sequence packing: materialize the actual packed
+    token sequences. `packed` is pack_sequences' output; `tokens_df` maps
+    id -> token array. Returns one row per pack:
+
+        pack_id     long
+        n_tokens    int          (== seq_len for every pack but the last)
+        tokens      array<string> gathered in stream order
+        doc_breaks  array<int>   positions (0-based, ascending) where a
+                                 document STARTS inside this pack
+
+    Document boundaries are emitted as the `doc_breaks` position list, not
+    as marker tokens spliced into the stream: a marker that occupies a
+    token slot would shift every downstream offset and break the
+    pack_sequences arithmetic, while the break list carries the same
+    information losslessly (it is exactly what attention-reset /
+    loss-masking needs; a trainer that wants literal separator tokens can
+    append them to each document BEFORE counting tokens). A pack fully
+    interior to one long document has an empty break list; a pack whose
+    first content continues a straddling document starts with a break > 0
+    or none at 0.
+
+    Scale shape: each doc's token slice for each pack it touches is cut
+    JVM-side (F.slice) BEFORE the shuffle, so a document spanning k packs
+    ships each token once — never its full array k times (that would be
+    quadratic for book-length docs). The per-pack group then only
+    concatenates ready slices: applyInPandas groups are bounded at
+    seq_len tokens regardless of document or corpus size. Docs are
+    contiguous in the stream by construction, so within a pack the sorted
+    slices tile [pack_id*seq_len, (pack_id+1)*seq_len) exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    asg = pack_assignments(packed, id_col)
+    toks = tokens_df.select(
+        F.col(id_col), F.col(tokens_col).alias("_toks")
+    )
+    j = asg.join(toks, id_col)
+    L = F.lit(seq_len).cast("long")
+    pack_start = F.col("pack_id") * L
+    n = F.size("_toks").cast("long")
+    lo = F.greatest(F.lit(0).cast("long"), pack_start - F.col("start_offset"))
+    hi = F.least(n, (F.col("pack_id") + F.lit(1)) * L - F.col("start_offset"))
+    sliced = j.select(
+        "pack_id",
+        "start_offset",
+        # doc-local indices fit int: a single doc's length bounds them
+        F.slice("_toks", (lo + 1).cast("int"), (hi - lo).cast("int")).alias("_slice"),
+        (F.col("start_offset") >= pack_start).alias("_starts_here"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("doc_breaks", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("start_offset")
+        tokens: list[str] = []
+        breaks: list[int] = []
+        for starts_here, sl in zip(pdf["_starts_here"], pdf["_slice"]):
+            if starts_here:
+                breaks.append(len(tokens))
+            tokens.extend(sl)
+        return pd.DataFrame(
+            {
+                "pack_id": [int(pdf["pack_id"].iloc[0])],
+                "n_tokens": [len(tokens)],
+                "tokens": [tokens],
+                "doc_breaks": [breaks],
+            }
+        )
+
+    return sliced.groupBy("pack_id").applyInPandas(emit, out_schema)

@@ -443,6 +443,53 @@ def test_pack_sequences_matches_python_reference(spark):
     assert sorted((r["doc_id"], r["pack_id"]) for r in rows_out) == expect_rows
 
 
+def test_pack_emit_matches_python_reference(spark):
+    """pack_emit == the single-threaded writer: concatenate all tokens in
+    id order, cut into seq_len slices, record where documents start. Byte-
+    exact on every pack, including straddling docs, an interior pack of a
+    giant doc (empty break list), empty docs (no token, no break), and the
+    ragged final pack."""
+    import random
+
+    from crawler_german_localpoliticans_spark.operators.packing import (
+        pack_emit,
+        pack_sequences,
+    )
+
+    rng = random.Random(23)
+    L = 64
+    rows = []
+    for i in range(60):
+        did = i * 3 + 1
+        n = rng.choice([0, 1, 7, 40, 64, 200])  # 200 > 3L: interior packs
+        rows.append((did, [f"t{did}w{j}" for j in range(n)]))
+
+    # python reference
+    stream: list[str] = []
+    breaks_by_pack: dict[int, list[int]] = {}
+    for did, toks in sorted(rows):
+        if toks:
+            start = len(stream)
+            breaks_by_pack.setdefault(start // L, []).append(start % L)
+            stream.extend(toks)
+    expect = {}
+    for p in range((len(stream) + L - 1) // L):
+        chunk = stream[p * L : (p + 1) * L]
+        expect[p] = (len(chunk), chunk, breaks_by_pack.get(p, []))
+
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    counted = df.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    packed = pack_sequences(counted, "doc_id", "n_tokens", L, buckets=8)
+    got = {
+        r["pack_id"]: (r["n_tokens"], list(r["tokens"]), list(r["doc_breaks"]))
+        for r in pack_emit(packed, df, "doc_id", "toks", L).collect()
+    }
+    assert got == expect
+    # every pack but the last is exactly seq_len
+    last = max(got)
+    assert all(got[p][0] == L for p in got if p != last)
+
+
 def test_winnow_batch_parity_hypothesis():
     """Randomized winnow_batch == winnow_py differential over adversarial
     text (controls, unicode whitespace, astral chars, lone-surrogate-free

@@ -310,6 +310,25 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6"))
 
 
+def _q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (blocked cosine >= 0.3, the
+    embedding_neardup query's exact pair set) fed through the same
+    large-star/small-star connected components as the text path — every
+    vector labeled with its component minimum, singletons labeling
+    themselves. Closes the embedding modality's pairs -> clusters ->
+    representative loop the way neardup_clusters closes MinHash's; the
+    oracle is the same recursive-CTE min-reachable-label over the
+    SQL-re-derived cosine pair set."""
+    from crawler_german_localpoliticans_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        neardup_clusters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.3)
+    return neardup_clusters(emb, "vec_id", pairs)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1019,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_planted": _q_fingerprint_planted,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1910,6 +1930,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a
                 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             ) WHERE cosine >= 0.3
+        """,
+        # same recursive-CTE min-reachable labeling as neardup_clusters,
+        # over the embedding-cosine pair set above
+        "embedding_dedup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                           round(list_cosine_similarity(
+                               CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+                    FROM embeddings a
+                    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+                ) WHERE cosine >= 0.3
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+            )
+            SELECT id, MIN(r) AS cluster_id, MIN(r) = id AS is_representative
+            FROM reach GROUP BY id
         """,
         "cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

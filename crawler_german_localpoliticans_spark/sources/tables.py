@@ -15,8 +15,9 @@ properties the engine actually relies on with plain parquet:
 - *incremental append*: each crawl round writes its own `round=NNNN`
   directory (partition pruning on resume and on per-round reads).
 
-(Jar availability re-checked round 4: the container's pyspark
-distribution ships no Iceberg/Delta/Hudi jars and there is no network to
+(Jar availability re-checked rounds 4 and 5 — `find / -name '*iceberg*.jar'`
+empty, no pyiceberg module: the container's pyspark distribution ships no
+Iceberg/Delta/Hudi jars and there is no network to
 fetch one, so the documented emulation stands rather than a faked
 `MERGE INTO`. On a real cluster, swap `Catalog` appends for
 `writeTo(...).append()` and `merge_council_members` /

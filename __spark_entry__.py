@@ -431,6 +431,22 @@ def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(_docs(spark, sf_dir), "source", "n_chars")
 
 
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/textstats.py
+    bigram_lm_scores): per-doc average ln-probability under an
+    add-one-smoothed bigram model trained on the corpus itself
+    (self-perplexity). The oracle retrains the identical model in SQL —
+    bigram/context counts, vocabulary size, smoothing algebra, ln — and
+    re-derives every score (same measure-zero ln-rounding caveat as the
+    char-entropy oracle)."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    out = bigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select("id", "n_bigrams", _e6(F.col("avg_logprob")).alias("avg_logprob_e6"))
+
+
 def _q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mix-shaping loop END-TO-END: source_mix (observed composition)
     -> rebalance_fractions (driver-side downsample-only solver) ->
@@ -1064,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "source_mix": _q_source_mix,
         "mix_rebalance": _q_mix_rebalance,
+        "bigram_lm": _q_bigram_lm,
         "keyword_gate": _q_keyword_gate,
         "posexplode_tokens": _q_posexplode_tokens,
         "ledger_events": _q_ledger_events,
@@ -2181,6 +2198,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(weight * 1000000.0 / (SELECT SUM(weight) FROM agg))
                         AS BIGINT) AS share_e6
             FROM agg
+        """,
+        # Bigram LM retrained from scratch in SQL: zipped positional unnests
+        # give (a, b) pairs, two GROUP BYs give the model, and the scoring
+        # join replays (c_ab + 1) / (c_a + V) with the same double casts and
+        # the same two-step rounding (round(avg, 6) then *1e6) as the Spark
+        # side. Self-reference model => every scored bigram exists in the
+        # counts, so inner joins suffice.
+        "bigram_lm": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> length(t) > 0) AS t
+                FROM documents
+            ),
+            bi AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+                       unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS b
+                FROM toks WHERE len(t) >= 2
+            ),
+            counts AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
+            ctx AS (SELECT a, count(*) AS c_a FROM bi GROUP BY a),
+            vocab AS (SELECT count(DISTINCT x) AS v
+                      FROM (SELECT unnest(t) AS x FROM toks)),
+            lp AS (
+                SELECT d.doc_id,
+                       ln((c.c_ab + 1)::DOUBLE / (x.c_a + vocab.v)::DOUBLE) AS lp
+                FROM bi d
+                JOIN counts c USING (a, b)
+                JOIN ctx x USING (a), vocab
+            ),
+            sc AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       round(avg(lp), 6) AS avg_logprob
+                FROM lp GROUP BY doc_id
+            )
+            SELECT t.doc_id AS id,
+                   COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+                   CAST(round(sc.avg_logprob * 1000000) AS BIGINT)
+                       AS avg_logprob_e6
+            FROM toks t LEFT JOIN sc USING (doc_id)
         """,
         # The full mix-shaping loop replayed in SQL. Float-op order mirrors
         # rebalance_fractions EXACTLY (ratio = c / (t / tot_t); f =

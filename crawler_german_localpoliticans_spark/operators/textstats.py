@@ -112,6 +112,101 @@ def doc_frequency(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref: DataFrame | None = None,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring: per-document
+    average log-probability under an add-one-smoothed bigram model —
+    the perplexity filter large pipelines use to rank/drop low-quality
+    text (CCNet scores Common Crawl against a Wikipedia-trained KenLM; the
+    estimator here is the same MLE+smoothing algebra at bigram order, all
+    engine-portable arithmetic so the whole path is SQL-oracle checkable).
+
+        p(b | a) = (c(ab) + 1) / (ctx(a) + V)
+        score(doc) = avg over its bigrams of ln p(b | a)
+
+    where c(ab) counts bigram occurrences in the REFERENCE corpus (`ref`,
+    default: the scored corpus itself — self-perplexity), ctx(a) counts
+    bigrams starting with a, and V = |distinct reference tokens| (so an
+    unseen bigram still gets positive mass). Documents with < 2 tokens
+    score NULL with n_bigrams = 0 — no probability is defined, and 0.0
+    would sort as "better than average real text".
+
+    Plan shape: tokens/bigrams are JVM Column transforms (no Python); the
+    model is two hash groupBys over the exploded reference bigrams; the
+    scoring join is bigram-equi (broadcastable for small reference models,
+    shuffle join otherwise) + one per-doc avg. At 100 TB the reference
+    model is the small side by design (a curated reference corpus), so
+    scoring is one broadcast-join scan of the corpus."""
+    from .dedup import tokens_col
+
+    if ref is None:
+        ref = df
+        ref_text_col = text_col
+    elif ref_text_col is None:
+        ref_text_col = text_col
+
+    def bigrams(text_col_obj):
+        toks = F.filter(tokens_col(text_col_obj), lambda t: F.length(t) > 0)
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("a"),
+                    F.element_at(toks, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    ref_bi = ref.select(F.explode(bigrams(F.col(ref_text_col))).alias("bi")).select(
+        "bi.a", "bi.b"
+    )
+    counts = ref_bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = ref_bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    ref_toks = ref.select(
+        F.explode(
+            F.filter(tokens_col(F.col(ref_text_col)), lambda t: F.length(t) > 0)
+        ).alias("t")
+    )
+    v = ref_toks.agg(F.countDistinct("t").alias("v"))
+
+    doc_bi = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams(F.col(text_col))).alias("bi")
+    ).select("id", "bi.a", "bi.b")
+    scored = (
+        doc_bi.join(counts, ["a", "b"], "left")
+        .join(ctx, "a", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "id",
+            F.log(
+                (F.coalesce("c_ab", F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce("c_a", F.lit(0)) + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+    # every document gets a row; < 2 tokens => NULL score, 0 bigrams
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition/diversity signals per document — the filters
     a training-data pipeline uses to drop boilerplate and gibberish:

@@ -361,6 +361,75 @@ def test_winnow_batch_parity_and_guarantee():
     assert set(sa) & set(sb), "winnowing guarantee violated"
 
 
+def test_bigram_lm_scores_matches_python_reference(spark):
+    """bigram_lm_scores == the closed-form add-one bigram estimator in
+    Python: self-model scores, the unseen-bigram/unseen-context smoothing
+    path against an external reference model, and the <2-token NULL
+    contract."""
+    from collections import Counter
+    from math import log
+
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    rows = [(1, "a b a c a b"), (2, "b a"), (3, "nur"), (4, " ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ref_model(texts):
+        bis, ctx, vocab = Counter(), Counter(), set()
+        for t in texts:
+            toks = [x for x in t.split() if x]
+            vocab.update(toks)
+            for a, b in zip(toks, toks[1:]):
+                bis[(a, b)] += 1
+                ctx[a] += 1
+        return bis, ctx, len(vocab)
+
+    def ref_scores(texts_by_id, model):
+        bis, ctx, v = model
+        out = {}
+        for did, t in texts_by_id.items():
+            toks = [x for x in t.split() if x]
+            lps = [
+                log((bis.get((a, b), 0) + 1) / (ctx.get(a, 0) + v))
+                for a, b in zip(toks, toks[1:])
+            ]
+            out[did] = (len(lps), round(sum(lps) / len(lps), 6) if lps else None)
+        return out
+
+    texts = dict(rows)
+    # self-model (corpus == reference)
+    expect = ref_scores(texts, ref_model(texts.values()))
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_scores(docs, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    for did in texts:
+        assert got[did][0] == expect[did][0]
+        if expect[did][1] is None:
+            assert got[did][1] is None
+        else:
+            assert abs(got[did][1] - expect[did][1]) < 1e-9
+    assert got[3] == (0, None) and got[4] == (0, None)
+
+    # external reference: doc 2's bigram ('b','a') exists in ref doc 1?
+    # ref = only "c d c" -> every scored bigram unseen, some contexts unseen
+    ref = spark.createDataFrame([(9, "c d c")], "doc_id long, text string")
+    expect2 = ref_scores(texts, ref_model(["c d c"]))
+    got2 = {
+        r["id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_scores(docs, "doc_id", "text", ref=ref).collect()
+    }
+    for did in texts:
+        assert got2[did][0] == expect2[did][0]
+        if expect2[did][1] is None:
+            assert got2[did][1] is None
+        else:
+            assert abs(got2[did][1] - expect2[did][1]) < 1e-9
+
+
 def test_substring_dup_pairs_and_stop_fp_cap(spark):
     from crawler_german_localpoliticans_spark.operators.textstats import (
         substring_dup_pairs,

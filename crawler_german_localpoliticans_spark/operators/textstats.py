@@ -775,9 +775,14 @@ def substring_dedup(
         F.collect_set("fp").alias("_pfps")
     )
 
-    joined = base.join(partner_sets, base["id"] == partner_sets["_target"], "left")
+    # untouched branch via a cheap anti-join on the pair DST id set — NOT a
+    # left join against partner_sets, which would duplicate the whole
+    # keep-side window-hash subtree (incl. its Python stage) into the
+    # corpus-sized branch (plan-gated by
+    # tests/test_plan_quality.py::test_substring_dedup_python_only_touches_pair_docs)
+    dst_ids = pairs.select(F.col(dst).alias("id")).distinct()
     untouched = (
-        joined.where(F.col("_target").isNull())
+        base.join(dst_ids, "id", "left_anti")
         .select(
             "id",
             "text",
@@ -785,6 +790,9 @@ def substring_dedup(
             F.length("text").cast("long").alias("n_chars_after"),
         )
     )
+    # every dst id has a partner set by construction (window_hashes_batch
+    # emits >= 1 element for any text), so the target branch is an inner join
+    joined = base.join(partner_sets, base["id"] == partner_sets["_target"])
 
     @F.pandas_udf(T.StringType())
     def strip(texts: pd.Series, pfps: pd.Series) -> pd.Series:
@@ -816,7 +824,7 @@ def substring_dedup(
         return pd.Series(out)
 
     stripped = (
-        joined.where(F.col("_target").isNotNull())
+        joined
         .select(
             "id",
             F.length("text").cast("long").alias("n_chars_before"),

@@ -166,3 +166,65 @@ def test_extraction_stage_prunes_payload_columns(spark, smoke_dir):
     pages = spark.read.schema(PAGES_SCHEMA).parquet(f"{smoke_dir}/pages.parquet")
     q = pages.select("url", "lang")
     assert "ReadSchema: struct<url:string,lang:string>" in formatted(q)
+
+
+def test_bigram_lm_model_is_jvm_only_no_cartesian(spark):
+    """The LM path must be pure JVM (tokens/bigrams are Column transforms,
+    never Python) and every join an equi-join — a cartesian/BNL against
+    the counts table would be quadratic in the corpus."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = bigram_lm_scores(docs, "doc_id", "text")
+    plan = plan_of(out)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the broadcast of the 1-row vocab size
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_substring_dedup_python_only_touches_pair_docs(spark):
+    """The strip kernel and the partner window-hash explode must run behind
+    joins that restrict to candidate-pair documents — the corpus-sized
+    branch of the union has to stay Python-free."""
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        substring_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = substring_dedup(docs, pairs, "doc_id", "text")
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the union's untouched branch (left-anti side of the target join)
+    # carries no Python evaluation: every Arrow/Python node in the plan
+    # sits below a join with the pair-derived target set. Cheap structural
+    # proxy: the plan contains exactly the two pandas UDF evaluations
+    # (partner whs + strip), not a third corpus-wide one.
+    assert plan.count("ArrowEvalPython") == 2
+
+
+def test_pack_emit_slices_before_shuffle(spark):
+    """pack_emit must cut per-(doc, pack) slices JVM-side BEFORE the
+    groupBy shuffle: the only Python node is the final per-pack
+    applyInPandas (FlatMapGroupsInPandas), fed by a slice() projection —
+    a doc's full token array must never ship once per spanned pack."""
+    from crawler_german_localpoliticans_spark.operators.packing import (
+        pack_emit,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    counted = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    packed = pack_sequences(counted, "doc_id", "n_tokens", 64)
+    out = pack_emit(packed, toks, "doc_id", "toks", 64)
+    plan = plan_of(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "ArrowEvalPython" not in plan  # no scalar-UDF stage anywhere
+    assert "slice(" in plan  # the pre-shuffle JVM cut
+    assert "CartesianProduct" not in plan

@@ -447,6 +447,36 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "n_bigrams", _e6(F.col("avg_logprob")).alias("avg_logprob_e6"))
 
 
+def _q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked curation: the top-3 documents per source by bigram-LM score
+    (higher avg ln-prob = more reference-like text) — the 'keep the best N
+    per stratum' selection step of a curation recipe. Ranking runs on the
+    E6-ROUNDED score with doc_id tie-break: the rounded integers are the
+    hash-matched contract, so cross-engine ulp drift in the raw doubles
+    can never flip a rank. One window over a per-source partition — no
+    global sort."""
+    from pyspark.sql import Window
+
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        bigram_lm_scores(docs, "doc_id", "text")
+        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select("id", "source", _e6(F.col("avg_logprob")).alias("avg_logprob_e6"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob_e6").desc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("source", F.col("id").alias("doc_id"), "rk", "avg_logprob_e6")
+    )
+
+
 def _q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mix-shaping loop END-TO-END: source_mix (observed composition)
     -> rebalance_fractions (driver-side downsample-only solver) ->
@@ -1081,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": _q_source_mix,
         "mix_rebalance": _q_mix_rebalance,
         "bigram_lm": _q_bigram_lm,
+        "quality_topk_per_source": _q_quality_topk_per_source,
         "keyword_gate": _q_keyword_gate,
         "posexplode_tokens": _q_posexplode_tokens,
         "ledger_events": _q_ledger_events,
@@ -2239,6 +2270,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sc.avg_logprob * 1000000) AS BIGINT)
                        AS avg_logprob_e6
             FROM toks t LEFT JOIN sc USING (doc_id)
+        """,
+        # ranked selection over the e6-rounded LM scores (the hash-matched
+        # integers — raw-double ordering could flip ranks on ulp drift)
+        "quality_topk_per_source": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> length(t) > 0) AS t
+                FROM documents
+            ),
+            bi AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+                       unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS b
+                FROM toks WHERE len(t) >= 2
+            ),
+            counts AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
+            ctx AS (SELECT a, count(*) AS c_a FROM bi GROUP BY a),
+            vocab AS (SELECT count(DISTINCT x) AS v
+                      FROM (SELECT unnest(t) AS x FROM toks)),
+            lp AS (
+                SELECT d.doc_id,
+                       ln((c.c_ab + 1)::DOUBLE / (x.c_a + vocab.v)::DOUBLE) AS lp
+                FROM bi d
+                JOIN counts c USING (a, b)
+                JOIN ctx x USING (a), vocab
+            ),
+            sc AS (
+                SELECT doc_id,
+                       CAST(round(round(avg(lp), 6) * 1000000) AS BIGINT)
+                           AS avg_logprob_e6
+                FROM lp GROUP BY doc_id
+            ),
+            ranked AS (
+                SELECT t.source, t.doc_id, sc.avg_logprob_e6,
+                       row_number() OVER (
+                           PARTITION BY t.source
+                           ORDER BY sc.avg_logprob_e6 DESC NULLS LAST,
+                                    t.doc_id ASC
+                       ) AS rk
+                FROM toks t LEFT JOIN sc USING (doc_id)
+            )
+            SELECT source, doc_id, CAST(rk AS INT) AS rk, avg_logprob_e6
+            FROM ranked WHERE rk <= 3
         """,
         # The full mix-shaping loop replayed in SQL. Float-op order mirrors
         # rebalance_fractions EXACTLY (ratio = c / (t / tot_t); f =

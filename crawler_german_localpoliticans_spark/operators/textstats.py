@@ -713,6 +713,43 @@ def substring_dup_pairs(
     )
 
 
+def strip_covered_batch(
+    texts: list, partner_fp_lists: list, window: int = FP_WINDOW
+) -> list[str]:
+    """The substring_dedup removal kernel as a pure batch function (the
+    pandas UDF is a thin wrapper; kept separate so the semantics are
+    property-testable without a SparkSession): for each (text, partner
+    fingerprint list), every `window`-char window whose rolling hash is in
+    the partner set marks chars [i, i+window) covered, and covered chars
+    are removed. Empty / shorter-than-window texts pass through."""
+    arrs = _batch_window_hash_arrays([t if isinstance(t, str) else "" for t in texts], window)
+    out: list[str] = []
+    for t, arr, pf in zip(texts, arrs, partner_fp_lists):
+        t = t if isinstance(t, str) else ""
+        if arr is None or isinstance(arr, int):
+            out.append(t)  # empty or shorter than the window: unchanged
+            continue
+        pset = np.asarray(pf, dtype=np.int64).astype(np.uint64)
+        hit = np.isin(arr, pset)
+        if not hit.any():
+            out.append(t)
+            continue
+        n = len(t)
+        # interval-union of [i, i+window) via a delta array + cumsum
+        delta = np.zeros(n + 1, dtype=np.int64)
+        idx = np.nonzero(hit)[0]
+        delta[idx] += 1
+        delta[idx + window] -= 1
+        covered = np.cumsum(delta[:n]) > 0
+        chars = np.frombuffer(
+            t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        )
+        out.append(
+            chars[~covered].tobytes().decode("utf-32-le", "surrogatepass")
+        )
+    return out
+
+
 def substring_dedup(
     docs: DataFrame,
     pairs: DataFrame,
@@ -796,32 +833,7 @@ def substring_dedup(
 
     @F.pandas_udf(T.StringType())
     def strip(texts: pd.Series, pfps: pd.Series) -> pd.Series:
-        arrs = _batch_window_hash_arrays(list(texts), window)
-        out: list[str] = []
-        for t, arr, pf in zip(texts, arrs, pfps):
-            t = t if isinstance(t, str) else ""
-            if arr is None or isinstance(arr, int):
-                out.append(t)  # empty or shorter than the window: unchanged
-                continue
-            pset = np.asarray(pf, dtype=np.int64).astype(np.uint64)
-            hit = np.isin(arr, pset)
-            if not hit.any():
-                out.append(t)
-                continue
-            n = len(t)
-            # interval-union of [i, i+window) via a delta array + cumsum
-            delta = np.zeros(n + 1, dtype=np.int64)
-            idx = np.nonzero(hit)[0]
-            delta[idx] += 1
-            delta[idx + window] -= 1
-            covered = np.cumsum(delta[:n]) > 0
-            chars = np.frombuffer(
-                t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
-            )
-            out.append(
-                chars[~covered].tobytes().decode("utf-32-le", "surrogatepass")
-            )
-        return pd.Series(out)
+        return pd.Series(strip_covered_batch(list(texts), list(pfps), window))
 
     stripped = (
         joined

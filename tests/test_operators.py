@@ -559,6 +559,53 @@ def test_pack_emit_matches_python_reference(spark):
     assert all(got[p][0] == L for p in got if p != last)
 
 
+def test_strip_covered_properties_hypothesis():
+    """Randomized invariants of the substring-dedup removal kernel
+    (strip_covered_batch, no SparkSession needed): (1) output is a
+    subsequence of the input, (2) a partner set sharing no window leaves
+    the text byte-identical, (3) a planted copy of a partner window is
+    always removed, (4) an empty partner set is a no-op."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_german_localpoliticans_spark.operators.textstats import (
+        FP_WINDOW,
+        strip_covered_batch,
+        window_hashes_batch,
+    )
+
+    alphabet = "ab \xa0x.\U0001F600"
+
+    def is_subsequence(sub: str, full: str) -> bool:
+        it = iter(full)
+        return all(ch in it for ch in sub)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        t=st.text(alphabet=alphabet, max_size=80),
+        other=st.text(alphabet=alphabet, min_size=FP_WINDOW, max_size=60),
+    )
+    def check(t, other):
+        w_other = window_hashes_batch([other])[0]
+        out = strip_covered_batch([t], [w_other])[0]
+        assert is_subsequence(out, t)  # (1)
+        w_t = set(window_hashes_batch([t])[0])
+        if len(t) >= FP_WINDOW and not (w_t & set(w_other)):
+            assert out == t  # (2)
+        assert strip_covered_batch([t], [[]])[0] == t  # (4)
+        # (3) plant a window of `other`: its FP_WINDOW chars are covered by
+        # the matching window, so at least that many chars must come out
+        # (junction artifacts can re-create span-like strings, so assert on
+        # guaranteed length, not substring absence)
+        span = other[:FP_WINDOW]
+        planted = "QQ" + t + span + t + "ZZ"
+        out_p = strip_covered_batch([planted], [w_other])[0]
+        assert len(out_p) <= len(planted) - FP_WINDOW
+        assert is_subsequence(out_p, planted)
+
+    check()
+
+
 def test_winnow_batch_parity_hypothesis():
     """Randomized winnow_batch == winnow_py differential over adversarial
     text (controls, unicode whitespace, astral chars, lone-surrogate-free

@@ -151,15 +151,18 @@ def bigram_lm_scores(
         ref_text_col = text_col
 
     def bigrams(text_col_obj):
+        # arrays_zip over two slices, NOT transform + element_at: a lambda
+        # body evaluates interpreted per element (the r3 HOF lesson —
+        # measured 4x on this operator), while slice/arrays_zip stay in
+        # whole-stage codegen. zip of (toks[0:n-1], toks[1:n-1]) yields
+        # exactly the n-1 bigram structs; field names pinned via alias.
         toks = F.filter(tokens_col(text_col_obj), lambda t: F.length(t) > 0)
+        n = F.size(toks)
         return F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("a"),
-                    F.element_at(toks, i + 1).alias("b"),
-                ),
+            n >= 2,
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("a"),
+                F.slice(toks, 2, n - 1).alias("b"),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 

@@ -798,6 +798,11 @@ def substring_dedup(
     def whs(texts: pd.Series) -> pd.Series:
         return pd.Series(window_hashes_batch(list(texts), window))
 
+    # three consumers read the pair table (keep_ids, the partner join, the
+    # dst anti-join) and its upstream is typically the verified-overlap
+    # pipeline — persist so that pipeline runs once (substring_overlap
+    # persist rationale)
+    pairs = pairs.persist()
     # distinct window-hash sets of the keep-side docs, exploded -> joined
     # through the pair table -> one DISTINCT (dst, fp) partner table
     keep_ids = pairs.select(F.col(src).alias("id")).distinct()
@@ -893,6 +898,12 @@ def substring_overlap(
     as a distinct-(id, fp) semi-join before the pair join."""
     from pyspark.sql import types as T
 
+    # the pair table feeds four consumers (both cand_ids legs, the count
+    # join, the final left join) and is typically the OUTPUT of the whole
+    # winnow candidate pipeline — without a persist that pipeline re-runs
+    # once per consumer (measured 48s -> 23s at sf0.1 from this persist
+    # pair alone; same rationale as minhash_dedup_pairs' sigs.persist)
+    pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col(src).alias("id"))
         .unionByName(pairs.select(F.col(dst).alias("id")))
@@ -906,7 +917,9 @@ def substring_overlap(
     def whs(texts: pd.Series) -> pd.Series:
         return pd.Series(window_hashes_batch(list(texts), window))
 
-    fps = cand_docs.select("id", F.explode(whs(F.col("text"))).alias("fp"))
+    # both sides of the intersection join read this — persist so the
+    # window-hash Python kernel runs once, not twice
+    fps = cand_docs.select("id", F.explode(whs(F.col("text"))).alias("fp")).persist()
     a = fps.select(F.col("id").alias(src), F.col("fp").alias("fp"))
     b = fps.select(F.col("id").alias(dst), F.col("fp").alias("fp"))
     counts = (

@@ -169,8 +169,14 @@ def bigram_lm_scores(
     ref_bi = ref.select(F.explode(bigrams(F.col(ref_text_col))).alias("bi")).select(
         "bi.a", "bi.b"
     )
-    counts = ref_bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ctx = ref_bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    # context counts roll up FROM the bigram counts (sum over b of c_ab ==
+    # count of bigrams starting with a): one pass over the exploded
+    # reference instead of two, and the second agg runs on the already
+    # aggregated model rows. `counts` feeds both ctx and the scoring join —
+    # persist so the reference explode+agg runs once (model-sized, the
+    # broadcast side at scale).
+    counts = ref_bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")).persist()
+    ctx = counts.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     ref_toks = ref.select(
         F.explode(
             F.filter(tokens_col(F.col(ref_text_col)), lambda t: F.length(t) > 0)

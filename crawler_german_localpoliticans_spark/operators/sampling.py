@@ -84,9 +84,13 @@ def source_mix(df: DataFrame, strata_col: str, weight_col: str | None = None) ->
     two associations can differ by one ulp and flip round() at an exact
     half boundary (integer weights make those boundaries reachable)."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    # the aggregate feeds BOTH the grand total and the share projection —
+    # persist the (strata-sized, tiny) result so the corpus scan+agg runs
+    # once, not once per consumer (at 100 TB that is the difference
+    # between one pass and two)
     agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum(w).alias("weight")
-    )
+    ).persist()
     total = agg.agg(F.sum("weight").alias("_t"))
     return (
         agg.crossJoin(F.broadcast(total))

@@ -49,13 +49,16 @@ def pack_sequences(
     # (e.g. with_token_counts) executes once for both probes instead of
     # re-running per action; unpersisted after the result is assembled, so
     # the caller's action recomputes upstream at most once more and nothing
-    # leaks into a long-lived session
-    df = df.persist()
+    # leaks into a long-lived session. The handle is kept separately:
+    # `df` is rebound below, and unpersisting the rebound derived frame
+    # would be a CacheManager no-op (plan mismatch), leaving the input
+    # pinned forever (round-5 review find).
+    cached_input = df = df.persist()
     bounds = df.agg(
         F.min(lead).alias("lo"), F.max(lead).alias("hi"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     if bounds["n"] == 0:
-        df.unpersist()
+        cached_input.unpersist()
         return (
             df.withColumn("start_offset", F.lit(0).cast("long"))
             .withColumn("pack_id", F.lit(0).cast("long"))
@@ -119,7 +122,7 @@ def pack_sequences(
         )
         .drop("_bucket", "_incl", "_offset", "_n_tok")
     )
-    df.unpersist(blocking=False)
+    cached_input.unpersist(blocking=False)
     return out
 
 

@@ -174,7 +174,8 @@ def bigram_lm_scores(
     # reference instead of two, and the second agg runs on the already
     # aggregated model rows. `counts` feeds both ctx and the scoring join —
     # persist so the reference explode+agg runs once (model-sized, the
-    # broadcast side at scale).
+    # broadcast side at scale; same-input calls reuse the cache entry via
+    # CacheManager plan-matching, distinct-corpus sessions clearCache).
     counts = ref_bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")).persist()
     ctx = counts.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     ref_toks = ref.select(
@@ -807,8 +808,20 @@ def substring_dedup(
     # three consumers read the pair table (keep_ids, the partner join, the
     # dst anti-join) and its upstream is typically the verified-overlap
     # pipeline — persist so that pipeline runs once (substring_overlap
-    # persist rationale)
-    pairs = pairs.persist()
+    # persist rationale). Repeated calls over the SAME inputs reuse this
+    # cache entry (CacheManager plan-matching); only distinct inputs add
+    # entries, and callers cycling many corpora in one session should
+    # clearCache between them.
+    #
+    # A pair whose KEEPER (src) is absent from `docs` is ignored — there is
+    # no text to dedup against. The semi-join below makes that explicit;
+    # without it a dst whose every keeper is missing would fall through
+    # BOTH branches (in the anti-join's exclusion set, but with no partner
+    # row for the inner join) and silently vanish from the returned corpus
+    # (round-5 review find) instead of passing through unchanged.
+    pairs = pairs.join(
+        base.select(F.col("id").alias(src)), src, "left_semi"
+    ).persist()
     # distinct window-hash sets of the keep-side docs, exploded -> joined
     # through the pair table -> one DISTINCT (dst, fp) partner table
     keep_ids = pairs.select(F.col(src).alias("id")).distinct()
@@ -908,7 +921,10 @@ def substring_overlap(
     # join, the final left join) and is typically the OUTPUT of the whole
     # winnow candidate pipeline — without a persist that pipeline re-runs
     # once per consumer (measured 48s -> 23s at sf0.1 from this persist
-    # pair alone; same rationale as minhash_dedup_pairs' sigs.persist)
+    # pair alone; same rationale as minhash_dedup_pairs' sigs.persist).
+    # Cache lifetime: repeated calls with the same inputs reuse the entry
+    # (CacheManager plan-matching); sessions cycling many distinct corpora
+    # should clearCache between them.
     pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col(src).alias("id"))

@@ -747,3 +747,19 @@ def test_substring_dedup_removes_planted_span_exactly(spark):
     }
     assert got3[1] == (rows[0][1], len(rows[0][1]))
     assert got3[2] == ("", 0)
+
+    # a pair whose KEEPER is absent from docs is ignored — the dst must
+    # pass through unchanged, not silently vanish from the returned corpus
+    # (round-5 review find: it fell through both union branches)
+    got4 = {
+        r["doc_id"]: r["text"]
+        for r in substring_dedup(
+            docs3,
+            spark.createDataFrame(
+                [(99, 2), (1, 2)], "id_a long, id_b long"
+            ).where("id_a = 99"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert set(got4) == {1, 2}
+    assert got4[2] == rows[0][1]

@@ -82,6 +82,97 @@ def test_streaming_candidates_match_batch_buckets_and_survive_restart(spark, tmp
     assert not any(10 in p for p in pairs2)
 
 
+class _FakeState:
+    """Duck-typed GroupState: _make_bucket_group touches only .exists,
+    .get[0] and .update(tuple)."""
+
+    def __init__(self, first_id=None):
+        self._v = first_id
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return (self._v,)
+
+    def update(self, t):
+        self._v = t[0]
+
+
+def _drive(fn, ids_chunks, first_id=None):
+    import pandas as pd
+
+    state = _FakeState(first_id)
+    out = list(
+        fn((7, 123), (pd.DataFrame({"id": c}) for c in ids_chunks), state)
+    )
+    rows = [
+        (int(i), int(f))
+        for pdf in out
+        for i, f in zip(pdf["id"], pdf["first_id"])
+    ]
+    return rows, state._v
+
+
+def test_bucket_group_cap_boundary_unit():
+    """Pure-python drive of the bucket handler (no Spark): exactly-at-cap
+    stays EXACT (no overflow, one row per member, min-id representative),
+    one-over-cap engages the counter, the stored state always wins, and
+    the stored representative is chunk-order-independent."""
+    from crawler_german_localpoliticans_spark.streaming.neardup import (
+        _make_bucket_group,
+    )
+
+    class Acc:
+        def __init__(self):
+            self.value = 0
+
+        def add(self, n):
+            self.value += n
+
+    # exactly cap distinct ids (cap counts non-representative members in
+    # steady state; the representative itself is excluded from the set)
+    acc = Acc()
+    fn = _make_bucket_group(4, acc)
+    rows, stored = _drive(fn, [[5, 3, 9], [8, 11]])  # first batch: 5 ids, cap 4
+    assert stored == 3  # true min, despite arriving mid-chunk
+    assert acc.value == 1  # the 5th distinct id overflowed
+    assert {i for i, _ in rows} == {5, 9, 8, 11}
+    # connectivity: union of pairs links every id to the stored min
+    parent = {i: i for i in [3, 5, 8, 9, 11]}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in parent}) == 1
+
+    # at-cap: no overflow, exact star
+    acc2 = Acc()
+    fn2 = _make_bucket_group(4, acc2)
+    rows2, stored2 = _drive(fn2, [[5, 3], [9, 8, 3]])  # 4 distinct
+    assert stored2 == 3 and acc2.value == 0
+    assert sorted(rows2) == [(5, 3), (8, 3), (9, 3)]
+
+    # steady state: stored wins even over a smaller later id; duplicates
+    # within the batch emit once below the cap
+    acc3 = Acc()
+    fn3 = _make_bucket_group(4, acc3)
+    rows3, stored3 = _drive(fn3, [[1, 6, 6], [2]], first_id=5)
+    assert stored3 == 5 and acc3.value == 0
+    assert sorted(rows3) == [(1, 5), (2, 5), (6, 5)]
+
+    # chunk-order independence of the STORED representative (first batch)
+    for chunks in ([[9, 7], [2, 8]], [[2, 8], [9, 7]], [[8, 2, 9, 7]]):
+        _, s = _drive(_make_bucket_group(2, Acc()), chunks)
+        assert s == 2
+
+
 def test_streaming_bucket_cap_bounds_skewed_bucket(spark, tmp_path):
     """10^4 copies of one boilerplate text in a SINGLE micro-batch — the
     degenerate-bucket regime the batch LSH_MAX_BUCKET cap exists for. With

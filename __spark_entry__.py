@@ -477,6 +477,21 @@ def _q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test partition by keyed CRC-32
+    cumulative thresholds (operators/sampling.py hash_split) — every doc in
+    exactly one split, stable under repartition/retry and consistent with
+    any derived table keyed by doc_id. The oracle applies the identical
+    integer thresholds (computed by the same Python float accumulation,
+    embedded as literals) to the same in-SQL CRC-32."""
+    from crawler_german_localpoliticans_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    return hash_split(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], salt=7
+    ).select("doc_id", "split")
+
+
 def _q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mix-shaping loop END-TO-END: source_mix (observed composition)
     -> rebalance_fractions (driver-side downsample-only solver) ->
@@ -1110,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "source_mix": _q_source_mix,
         "mix_rebalance": _q_mix_rebalance,
+        "hash_split": _q_hash_split,
         "bigram_lm": _q_bigram_lm,
         "quality_topk_per_source": _q_quality_topk_per_source,
         "keyword_gate": _q_keyword_gate,
@@ -2314,6 +2330,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, CAST(rk AS INT) AS rk, avg_logprob_e6
             FROM ranked WHERE rk <= 3
+        """,
+        # Split thresholds computed by the SAME Python float accumulation
+        # hash_split uses (0.8 -> 0.8+0.1 in doubles), embedded as integer
+        # literals — both engines then compare the identical CRC-32 against
+        # the identical integers.
+        "hash_split": rf"""
+            WITH t AS (SELECT {_crc32_table_sql()}::UBIGINT[] AS tab),
+            keyed AS (
+                SELECT doc_id, CAST(doc_id AS VARCHAR) || ':7' AS s
+                FROM documents
+            ),
+            h AS (SELECT doc_id, {_CRC32_EXPR_SAMPLE} AS hv FROM keyed, t)
+            SELECT doc_id,
+                   CASE WHEN hv < {int(0.8 * 4294967296)} THEN 'train'
+                        WHEN hv < {int((0.8 + 0.1) * 4294967296)} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
         """,
         # The full mix-shaping loop replayed in SQL. Float-op order mirrors
         # rebalance_fractions EXACTLY (ratio = c / (t / tot_t); f =

@@ -105,6 +105,45 @@ def source_mix(df: DataFrame, strata_col: str, weight_col: str | None = None) ->
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row lands in exactly
+    one named split by comparing its keyed CRC-32 against cumulative
+    fraction thresholds (first split = hashes below trunc(f1 * 2^32), next
+    below trunc((f1+f2) * 2^32), ...; the LAST split absorbs the rounding
+    residue so the partition is total). Same guarantees as
+    deterministic_sample: reproducible across runs/retries/engines, stable
+    under repartitioning, and consistent across derived tables keyed the
+    same way — a document and its embeddings always land in the same
+    split. Fractions must sum to 1 (the split is a partition, not a
+    sample; combine with deterministic_sample to subsample first).
+    Pure codegen CASE chain, no shuffle."""
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(f < 0 for _, f in splits):
+        raise ValueError("split fractions must be non-negative")
+    h = F.crc32(
+        F.encode(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}")), "UTF-8")
+    )
+    cum = 0.0
+    expr = None
+    for name, frac in splits[:-1]:
+        cum += frac
+        thr = int(cum * _HASH_SPACE)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(splits[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
 def rebalance_fractions(
     current: dict[str, float], target: dict[str, float]
 ) -> dict[str, float]:

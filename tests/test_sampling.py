@@ -75,6 +75,35 @@ def test_source_mix_and_rebalance(spark):
     assert fr2 == {"a": 1.0, "junk": 0.0}
 
 
+def test_hash_split_partitions_and_aligns(spark):
+    """hash_split: total partition (every row exactly one split), the
+    python-replayed CRC-32 thresholds agree row-for-row, the same key+salt
+    yields the SAME split in a derived table (doc <-> embedding
+    alignment), and invalid fraction lists raise."""
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = {r["doc_id"]: r["split"] for r in
+           sampling.hash_split(docs, "doc_id", splits, salt=7).collect()}
+    assert len(out) == docs.count()
+    t1 = int(0.8 * 2**32)
+    t2 = int((0.8 + 0.1) * 2**32)
+    for did, sp in out.items():
+        hv = zlib.crc32(f"{did}:7".encode())
+        expect = "train" if hv < t1 else ("val" if hv < t2 else "test")
+        assert sp == expect
+    # derived-table alignment: any frame keyed by the same ids agrees
+    derived = docs.select("doc_id", "n_chars")
+    out2 = {r["doc_id"]: r["split"] for r in
+            sampling.hash_split(derived, "doc_id", splits, salt=7).collect()}
+    assert out2 == out
+    with _pytest.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", [("a", 0.5), ("b", 0.4)])
+    with _pytest.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", [("only", 1.0)])
+
+
 def test_mix_rebalance_end_to_end_hits_target(spark):
     """The composed loop (mix -> solver -> sample -> mix) on the engine:
     the binding stratum keeps fraction 1.0 (downsample-only invariant),

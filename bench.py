@@ -238,6 +238,21 @@ def main() -> None:
     ):
         queries[name] = round(bench_query(spark, sf_dir, q[name]), 3)
 
+    # round-5 operators, reported OUTSIDE the headline set (which stays
+    # fixed across rounds for like-for-like totals); the heavy substring
+    # queries are pinned separately in BENCH/NOTES.md (their walls swing
+    # 2-3x with this testdata's near-dup density — noise, not signal)
+    new_ops: dict[str, float] = {}
+    for name in (
+        "bigram_lm",
+        "quality_topk_per_source",
+        "mix_rebalance",
+        "hash_split",
+        "pack_emit",
+        "ann_ivf_pruned",
+    ):
+        new_ops[name] = round(bench_query(spark, sf_dir, q[name]), 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "headline workload wall-clock (crawl pipeline + extraction + operator queries)",
@@ -253,6 +268,8 @@ def main() -> None:
         # steady-state stage throughput on a replicated corpus (fixed job
         # costs amortized — the number that projects to cluster scale)
         "steady_state": pipeline,
+        # round-5 operator timings, outside the stable headline set
+        "new_operator_queries": new_ops,
     }
     spark.stop()
     print(json.dumps(result))

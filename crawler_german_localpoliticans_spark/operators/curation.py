@@ -136,8 +136,15 @@ def ngram_hashes(
             )
         return pd.Series(out)
 
+    # asNondeterministic: same ArrowEvalPython-duplication fix as
+    # minhash_signatures_arrow (guide §4.4) — the isNotNull filter on the
+    # UDF output would otherwise be pushed below an upstream exchange by
+    # substitution and re-run the gram kernel serially before it.
     return (
-        df.select(F.col(id_col).alias("id"), grams(F.col(text_col)).alias("gs"))
+        df.select(
+            F.col(id_col).alias("id"),
+            grams.asNondeterministic()(F.col(text_col)).alias("gs"),
+        )
         .where(F.col("gs").isNotNull())
         .select("id", F.explode("gs").alias("gram_hash"))
     )

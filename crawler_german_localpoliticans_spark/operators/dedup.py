@@ -176,8 +176,17 @@ def minhash_signatures_arrow(
             out.append(((a_col * h[None, :] + b_col) % prime).min(axis=1).astype(np.int64))
         return pd.Series(out)
 
+    # asNondeterministic: the isNotNull filter on the UDF's OUTPUT otherwise
+    # gets pushed below any upstream exchange by substitution, duplicating
+    # the ArrowEvalPython node — the whole kernel then runs twice, once
+    # BEFORE the repartition (i.e. serially on a single-split scan). Guide
+    # §4.4; measured 5.45s -> 1.0s at sf1.0 on local[32]. Results are
+    # unchanged: the kernel is a pure function.
     return (
-        df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+        df.select(
+            F.col(id_col).alias("id"),
+            sig.asNondeterministic()(F.col(text_col)).alias("sig"),
+        )
         .where(F.col("sig").isNotNull())
     )
 
@@ -214,16 +223,28 @@ def minhash_signatures_xx(
 # sees the same components — only the redundant tail-tail pairs are elided.
 LSH_MAX_BUCKET = 5000
 
+# Broadcast the oversized-bucket list into the flagging join only below this
+# many rows (~25 MB framed at 3 longs + flag/row). Above it — a genuinely
+# mass-duplicated corpus — the join falls back to shuffle, per-task memory
+# O(buckets/P), exactly the pre-probe degenerate-case behavior.
+LSH_BROADCAST_MAX_OVERSIZED = 1_000_000
+
 
 def banded_signatures(
     sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
     """(id, band, bh) — one row per LSH band per signature; bh = xxhash64
-    of the band's signature slice (band-hash equality <=> band slice
-    equality). Shared by the batch pair join (lsh_candidate_pairs) and the
-    streaming candidate operator (streaming/neardup.py). Null signatures
-    (docs with no shingles) are dropped: their null band hashes can never
-    equal anything."""
+    over the band's signature slice elements (band-hash equality <=> band
+    slice equality, modulo the usual 2^-64 collision argument — the same
+    one the band hash already rested on). The longs feed xxhash64 DIRECTLY
+    as multiple arguments: the previous concat_ws(",") form built a
+    ~40-char string per (row, band) — bands x n_docs string allocations —
+    just to feed the hash; hashing the longs natively removes that
+    allocation from the hottest projection in the LSH path (guide §2.3,
+    narrower/cheaper bytes). Shared by the batch pair join
+    (lsh_candidate_pairs) and the streaming candidate operator
+    (streaming/neardup.py). Null signatures (docs with no shingles) are
+    dropped: their null band hashes can never equal anything."""
     return (
         sigs.where(F.col("sig").isNotNull())
         .select(
@@ -234,10 +255,7 @@ def banded_signatures(
                         F.struct(
                             F.lit(b).alias("band"),
                             F.xxhash64(
-                                F.concat_ws(
-                                    ",",
-                                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)],
-                                )
+                                *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
                             ).alias("bh"),
                         )
                         for b in range(bands)
@@ -294,7 +312,15 @@ def lsh_candidate_pairs(
     """
     from pyspark.sql.window import Window
 
-    banded = banded_signatures(sigs, bands, rows)
+    # the banded table feeds the size probe, BOTH branches of the
+    # flagged split, and BOTH sides of the pair self-join — without a
+    # persist the explode+hash subtree (and its upstream signature read)
+    # re-executes once per consumer, up to 8x in the capped plan
+    # (measured: the candidate stage alone walled 14s at sf1.0 before,
+    # ~2s after). Same session-cache convention as sigs.persist in
+    # minhash_dedup_pairs: repeated same-input calls reuse the entry,
+    # bench/oracle runs clearCache between runs.
+    banded = banded_signatures(sigs, bands, rows).persist()
 
     if max_bucket_size is None:
         if observation is not None:
@@ -316,16 +342,44 @@ def lsh_candidate_pairs(
         # n_banded / max_bucket_size of them — hence always broadcastable,
         # and the plan needs no eager driver-side decision.
         sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_bsz"))
+        # persisted so the eager probe count below materializes it once and
+        # the flagging join reads the (near-empty) cache instead of
+        # re-running the full bucket-count aggregation a second time
         oversized = (
             sizes.where(F.col("_bsz") > max_bucket_size)
             .select("band", "bh", F.lit(True).alias("_over"))
+            .persist()
         )
-        # no forced broadcast hint: the oversized list is bounded at
-        # n_banded/cap ROWS, but at 1e10 docs x 16 bands on a
-        # mass-duplicated corpus that is still ~3e7 rows — a forced
-        # multi-hundred-MB broadcast. Catalyst/AQE auto-broadcasts it in
-        # the common (tiny) case and shuffle-joins the degenerate one.
-        flagged = banded.join(oversized, ["band", "bh"], "left")
+        # Self-defending join side (the robots-join / bench-grams pattern):
+        # the oversized list is bounded at n_banded/cap ROWS — near-always
+        # zero to a handful — but neither Catalyst nor AQE can see that
+        # (the > cap filter sits ABOVE the aggregation's exchange, so the
+        # runtime size estimate is the full 765k-bucket histogram and the
+        # join planned as a SortMergeJoin shuffling the whole banded table;
+        # stage receipt in BENCH/NOTES.md r6). Probe the actual count once
+        # (a map-side-combined agg over the cached banded table) and
+        # broadcast only when provably small; a mass-duplicated corpus
+        # whose oversized list is genuinely huge (~3e7 rows at 1e10 docs)
+        # keeps the shuffle join — per-task memory stays O(buckets/P).
+        #
+        # PERSIST the flagged table: it feeds FOUR branches (ok_part on
+        # both sides of the pair self-join, the ranked window, the
+        # overflow slice), and exchange reuse does not fire across them —
+        # measured at sf1.0 the un-materialized plan re-shuffled the full
+        # banded table ~10x and the self-join read 8M shuffled rows for
+        # 36k join hits (stage receipt in BENCH/NOTES.md r6). With the
+        # cache, each branch is a map-side filter over one materialized
+        # copy and the window shuffles only the (usually zero) oversized
+        # rows. One extra materialization pass, ~7x fewer shuffled bytes;
+        # storage is MEMORY_AND_DISK so a 1e10-doc banded table spills
+        # rather than OOMs — still far cheaper than ten shuffles of it.
+        # NOTE the probe makes plan CONSTRUCTION run one small Spark job
+        # (the oversized count) — the same documented trade as
+        # curation._bench_gram_join_side; it also materializes the banded
+        # cache, which every later branch was going to pay anyway.
+        if oversized.count() <= LSH_BROADCAST_MAX_OVERSIZED:
+            oversized = F.broadcast(oversized)
+        flagged = banded.join(oversized, ["band", "bh"], "left").persist()
         ok_part = flagged.where(F.col("_over").isNull()).select("id", "band", "bh")
         w = Window.partitionBy("band", "bh").orderBy("id")
         ranked = flagged.where(F.col("_over").isNotNull()).select(

@@ -62,6 +62,27 @@ def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _fit_scan_splits(spark: SparkSession, *paths: str) -> None:
+    """Size spark.sql.files.maxPartitionBytes so the LARGEST input among
+    `paths` splits into ~defaultParallelism scan tasks (guide §6): the
+    driver-contract tables are single files, and the default 128 MB split
+    leaves e.g. the sf1.0 lineitem scan (131 MB, 6M rows) on 2 tasks of a
+    32-core session. Scale-adaptive by construction — split = max(input
+    size / cores, 4 MB floor), so a production-sized table yields splits
+    at least as large as the default and the setting degenerates to a
+    no-op; parallelism is still capped by the file's row-group count
+    (the real fix at scale is writing more row groups). Runtime-settable
+    conf; cheap to re-set per query."""
+    import os as _os
+
+    biggest = max(_os.path.getsize(p) for p in paths)
+    per_core = biggest // max(spark.sparkContext.defaultParallelism, 1)
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(per_core, 4 * 1024 * 1024)),
+    )
+
+
 def _e6(col) -> F.Column:
     return F.round(col * 1000000).cast("long")
 
@@ -719,6 +740,7 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _fit_scan_splits(spark, f"{sf_dir}/lineitem.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -735,6 +757,7 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _fit_scan_splits(spark, f"{sf_dir}/lineitem.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1070,6 +1093,7 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _fit_scan_splits(spark, f"{sf_dir}/lineitem.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.rollup("l_returnflag", "l_linestatus")

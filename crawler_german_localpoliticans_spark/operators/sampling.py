@@ -84,24 +84,32 @@ def source_mix(df: DataFrame, strata_col: str, weight_col: str | None = None) ->
     two associations can differ by one ulp and flip round() at an exact
     half boundary (integer weights make those boundaries reachable)."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    # the aggregate feeds BOTH the grand total and the share projection —
-    # persist the (strata-sized, tiny) result so the corpus scan+agg runs
-    # once, not once per consumer (at 100 TB that is the difference
-    # between one pass and two)
+    # the aggregate feeds BOTH the grand total and the share projection.
+    # Strata counts are tiny by definition (sources, languages), so the
+    # agg is COLLECTED once and rebuilt via createDataFrame: the corpus
+    # scan+agg runs exactly once, the grand total becomes a literal, and
+    # no session-lifetime cache entry is pinned per distinct input (the
+    # r5 ADVICE persist-leak note — an unpaired .persist() here
+    # accumulated one entry per corpus in a long-lived session).
+    # Construction is eager (one Spark job), the documented trade of the
+    # repo's other self-defending probes. The share expression keeps the
+    # exact association `weight * 1e6 / total` the DuckDB oracle uses —
+    # total is an exact integer sum either way, so the float op sequence
+    # is unchanged.
     agg = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum(w).alias("weight")
-    ).persist()
-    total = agg.agg(F.sum("weight").alias("_t"))
-    return (
-        agg.crossJoin(F.broadcast(total))
-        .select(
-            "stratum",
-            "n_docs",
-            "weight",
-            F.round(F.col("weight") * F.lit(1_000_000.0) / F.col("_t"))
-            .cast("long")
-            .alias("share_e6"),
-        )
+    )
+    rows = agg.collect()
+    spark = df.sparkSession
+    rebuilt = spark.createDataFrame(rows, agg.schema)
+    total = sum(r["weight"] for r in rows if r["weight"] is not None)
+    return rebuilt.select(
+        "stratum",
+        "n_docs",
+        "weight",
+        F.round(F.col("weight") * F.lit(1_000_000.0) / F.lit(total).cast("long"))
+        .cast("long")
+        .alias("share_e6"),
     )
 
 

@@ -144,6 +144,7 @@ def bigram_lm_scores(
     scoring is one broadcast-join scan of the corpus."""
     from .dedup import tokens_col
 
+    self_model = ref is None
     if ref is None:
         ref = df
         ref_text_col = text_col
@@ -166,16 +167,32 @@ def bigram_lm_scores(
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
-    ref_bi = ref.select(F.explode(bigrams(F.col(ref_text_col))).alias("bi")).select(
-        "bi.a", "bi.b"
-    )
+    doc_bi = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams(F.col(text_col))).alias("bi")
+    ).select("id", "bi.a", "bi.b")
+    if self_model:
+        # self-perplexity: the reference bigrams ARE the scored corpus's
+        # bigrams — persist the exploded table once and derive BOTH the
+        # model counts and the scoring side from it, instead of running the
+        # tokenize+zip+explode scan twice over the corpus (one full pass
+        # saved; measured ~1.3s of a 3.3s wall at sf1.0). The cache entry
+        # is corpus-scale like the old `counts` pin (see the module ADVICE
+        # note): same lifetime contract — same-input calls reuse it via
+        # CacheManager plan-matching, distinct-corpus sessions clearCache.
+        doc_bi = doc_bi.persist()
+        ref_bi = doc_bi.select("a", "b")
+    else:
+        ref_bi = ref.select(F.explode(bigrams(F.col(ref_text_col))).alias("bi")).select(
+            "bi.a", "bi.b"
+        )
     # context counts roll up FROM the bigram counts (sum over b of c_ab ==
     # count of bigrams starting with a): one pass over the exploded
     # reference instead of two, and the second agg runs on the already
     # aggregated model rows. `counts` feeds both ctx and the scoring join —
     # persist so the reference explode+agg runs once (model-sized, the
-    # broadcast side at scale; same-input calls reuse the cache entry via
-    # CacheManager plan-matching, distinct-corpus sessions clearCache).
+    # broadcast side at scale with an external curated reference; in
+    # self-model mode it is distinct-bigram-scale — see the ADVICE note —
+    # but recomputes from the persisted doc_bi in one agg either way).
     counts = ref_bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")).persist()
     ctx = counts.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     ref_toks = ref.select(
@@ -184,10 +201,6 @@ def bigram_lm_scores(
         ).alias("t")
     )
     v = ref_toks.agg(F.countDistinct("t").alias("v"))
-
-    doc_bi = df.select(
-        F.col(id_col).alias("id"), F.explode(bigrams(F.col(text_col))).alias("bi")
-    ).select("id", "bi.a", "bi.b")
     scored = (
         doc_bi.join(counts, ["a", "b"], "left")
         .join(ctx, "a", "left")

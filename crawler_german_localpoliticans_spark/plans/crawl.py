@@ -197,7 +197,15 @@ class CrawlDriver:
         )
         self.pages_path = pages_path
         # the pages corpus is read once and cached across rounds (at 100 TB
-        # scale: a bucketed-by-url Iceberg table instead of a cache)
+        # scale: a bucketed-by-url Iceberg table instead of a cache).
+        # NOTE (r6): caching it pre-hash-partitioned by url (to let the
+        # per-round join skip the pages-side exchange, guide §2.4) was
+        # tried and measured SLOWER at sandbox scale — the wave join
+        # broadcasts the small frontier side, so the pages cache is never
+        # exchanged at all and the extra repartition shuffle of the html
+        # payload is pure cost (receipt in BENCH/NOTES.md r6). At cluster
+        # scale, where BOTH sides are big, url-bucketed storage is still
+        # the right layout, as documented in the module header.
         self.pages = tbl.read_pages(spark, pages_path).persist()
         # robots policies stay a DataFrame (parsed once on executors, reused
         # every round via persist); the only driver-side value is the row
@@ -207,20 +215,28 @@ class CrawlDriver:
         self.broadcast_policies = n_policy_hosts <= config.broadcast_policies_max_hosts
 
     # ------------------------------------------------------------------ seeds
-    def _seed_frontier(self, seeds_df: DataFrame) -> DataFrame:
-        """raw seeds -> depth-0 frontier; invalid URLs skipped
-        (seeder.rs:55-60); duplicates preserved (seeder does not dedup)."""
+    def _seed_frontier(self, seeds_df: DataFrame) -> tuple[DataFrame, int]:
+        """raw seeds -> (depth-0 frontier, seed count); invalid URLs skipped
+        (seeder.rs:55-60); duplicates preserved (seeder does not dedup).
+        The count rides out of the seq assignment's bucket-count pass
+        (assign_global_seq_counted) so run() never pays a separate count()
+        job over the frontier."""
         seeded = (
             seeds_df.withColumn("url", udfs.seed_normalize(F.col("raw_url")))
             .where(F.col("url").isNotNull())
         )
-        seeded = assign_global_seq(seeded, ["seed_order"], base=0, buckets=self.config.shuffle_partitions)
-        return seeded.select(
-            "seq",
-            "url",
-            F.lit(0).cast("int").alias("depth"),
-            udfs.url_host(F.col("url")).alias("host"),
-            udfs.host_key(F.col("url")).alias("host_key"),
+        seeded, n_seeds = assign_global_seq_counted(
+            seeded, ["seed_order"], base=0, buckets=self.config.shuffle_partitions
+        )
+        return (
+            seeded.select(
+                "seq",
+                "url",
+                F.lit(0).cast("int").alias("depth"),
+                udfs.url_host(F.col("url")).alias("host"),
+                udfs.host_key(F.col("url")).alias("host_key"),
+            ),
+            n_seeds,
         )
 
     # ------------------------------------------------------------------ wave
@@ -316,7 +332,12 @@ class CrawlDriver:
             stats = None  # resolved below after the write ran
 
         # 5. extraction stage: keyword-gated fetched pages only
-        #    (src/main.rs:824); clean_html + text in one pandas UDF
+        #    (src/main.rs:824); clean_html + text in one pandas UDF.
+        #    NOTE (r6): overlapping this write with the expansion jobs on a
+        #    driver thread (guide §2.6) was tried and measured SLOWER here
+        #    (+0.7-1.3s/round): the round's jobs are latency-bound driver
+        #    round trips, and the extraction job occupying every executor
+        #    slot delays each of them — receipt in BENCH/NOTES.md r6.
         extracted = (
             wave.where(F.col("ok") & F.col("keyword_hit"))
             .withColumn("ce", udfs.clean_extract(F.col("html")))
@@ -476,14 +497,13 @@ class CrawlDriver:
             for t in ("frontier", "fetched", "extracted"):
                 cat.drop_rounds_after(t, -1)
             self.bloom.drop_versions_after(-1)
-            frontier0 = self._seed_frontier(seeds_df)
+            frontier0, n_seeds = self._seed_frontier(seeds_df)
             frontier0.persist()
             cat.write_round("frontier", 0, frontier0)
             seen0 = with_hashes(
                 frontier0.select("url").distinct(), "url", cfg.seen_partitions
             )
             self.bloom.insert(seen0.select("part", "h1", "h2"), None, 0)
-            n_seeds = frontier0.count()
             frontier0.unpersist()
             next_seq = n_seeds
             bloom_version = 0

@@ -48,7 +48,7 @@ def test_seed_csv_to_frontier_order(spark, smoke_dir, smoke_fixture, tmp_path):
         spark, str(tmp_path), f"{smoke_dir}/pages.parquet", robots, CrawlConfig(seen_partitions=8)
     )
     csv_seeds = read_seeds_csv(spark, f"{smoke_dir}/seeds.csv", column_name="Websites")
-    f0 = d._seed_frontier(csv_seeds).orderBy("seq").collect()
+    f0 = d._seed_frontier(csv_seeds)[0].orderBy("seq").collect()
     from crawler_german_localpoliticans_spark.functions.urls import canonicalize_url as canon
 
     expected = [canon(s) for s in smoke_fixture.seeds if canon(s) is not None]

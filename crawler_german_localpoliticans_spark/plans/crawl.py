@@ -371,7 +371,12 @@ class CrawlDriver:
         )
 
         # 7. expansion (depth cutoff: children of pages AT max_depth are not
-        #    enqueued, src/main.rs:939-941)
+        #    enqueued, src/main.rs:939-941). NOTE (r6): suspending AQE for
+        #    the expansion's three tiny actions (to cut its per-stage
+        #    materialization round trips) was tried and measured SLOWER —
+        #    AQE is also what converts the seen/seed anti-joins to
+        #    broadcast at runtime; without it they fall back to shuffle
+        #    joins that cost more than the saved scheduling latency.
         enqueued = 0
         new_bloom_version = bloom_version
         if r < cfg.max_depth:

@@ -1,7 +1,11 @@
 """Local stand-in for the driver's correctness gate: run every queries()
 entry in Spark and (when an oracle exists) the matching SQL in DuckDB on the
 same sf dir; compare row count, sorted column names, and an order-insensitive
-value hash. Usage: python scripts/check_correctness.py [sf_dir]."""
+value hash. Usage: python scripts/check_correctness.py [sf_dir] [only] and
+set CHECK_JSON_OUT=<path> to also write a machine-readable receipt covering
+every checked query (the per-round CORRECTNESS_LOCAL_rNN.json evidence the
+r5 verdict asked for — the driver's own gate only windows the first 50
+registry entries)."""
 
 from __future__ import annotations
 
@@ -68,6 +72,7 @@ def main(sf_dir: str) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    receipt: dict[str, dict] = {}
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     for name, fn in qs.items():
         if only and name not in only:
@@ -79,11 +84,13 @@ def main(sf_dir: str) -> int:
             srows = sdf.collect()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
+            receipt[name] = {"ok": False, "err": f"spark error: {exc}"}
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows={len(srows)} (rows-only, no oracle) [{dt:.1f}s]")
+            receipt[name] = {"ok": True, "rows": len(srows), "oracle": False}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -91,11 +98,13 @@ def main(sf_dir: str) -> int:
             drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
+            receipt[name] = {"ok": False, "err": f"duckdb error: {exc}"}
             failures += 1
             continue
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        hs = hd = None
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
         else:
@@ -105,10 +114,20 @@ def main(sf_dir: str) -> int:
                 problems.append(f"value hash spark={hs} duckdb={hd}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{dt:.1f}s]")
+            receipt[name] = {"ok": False, "err": "; ".join(problems)}
             failures += 1
         else:
             print(f"ok   {name}: rows={len(srows)} hash match [{dt:.1f}s]")
+            receipt[name] = {
+                "ok": True, "rows": len(srows), "oracle": True, "hash": hs,
+            }
     spark.stop()
+    out = os.environ.get("CHECK_JSON_OUT")
+    if out:
+        import json
+
+        with open(out, "w", encoding="utf-8") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": receipt}, fh, indent=1)
     return failures
 
 

@@ -208,9 +208,9 @@ def test_substring_dedup_python_only_touches_pair_docs(spark):
 
 def test_pack_emit_slices_before_shuffle(spark):
     """pack_emit must cut per-(doc, pack) slices JVM-side BEFORE the
-    groupBy shuffle: the only Python node is the final per-pack
-    applyInPandas (FlatMapGroupsInPandas), fed by a slice() projection —
-    a doc's full token array must never ship once per spanned pack."""
+    groupBy shuffle — a doc's full token array must never ship once per
+    spanned pack — and (r6) the per-pack assembly is a pure JVM
+    aggregation: NO Python stage of any kind in the plan."""
     from crawler_german_localpoliticans_spark.operators.packing import (
         pack_emit,
         pack_sequences,
@@ -224,7 +224,8 @@ def test_pack_emit_slices_before_shuffle(spark):
     packed = pack_sequences(counted, "doc_id", "n_tokens", 64)
     out = pack_emit(packed, toks, "doc_id", "toks", 64)
     plan = plan_of(out)
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # r6: assembly is JVM-only
     assert "ArrowEvalPython" not in plan  # no scalar-UDF stage anywhere
+    assert "BatchEvalPython" not in plan
     assert "slice(" in plan  # the pre-shuffle JVM cut
     assert "CartesianProduct" not in plan

@@ -1028,7 +1028,9 @@ def _q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_german_localpoliticans_spark.operators.textstats import doc_frequency
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    # the n_docs probe counts the RAW scan — counting the spread frame
+    # would pay the repartition text shuffle for a row count
+    n = _docs_raw(spark, sf_dir).count()
     out = doc_frequency(docs, "doc_id", "text", n_docs=n, min_df=2)
     return out.select("token", "df_count", _e6(F.col("idf")).alias("idf_e6"))
 

@@ -766,11 +766,53 @@ def embedding_neardup_pairs_join(
 # ---------------------------------------------------------------------------
 
 
+# Below this many distinct edges the whole component computation runs as a
+# driver-side union-find over the collected edge list (~16 B/edge -> <=
+# ~16 MB at the default), skipping the iterative large-star/small-star
+# rounds whose per-round fixed cost (two star shuffles + an eager
+# localCheckpoint + a checksum collect) dominates for small graphs —
+# measured ~15s of driver-paced latency for a 2.5k-edge graph at sf1.0.
+# Near-dup graphs at 1e10-doc scale exceed the threshold and keep the
+# distributed O(log n) loop; pass None to force it (tests do).
+CC_DRIVER_FASTPATH_MAX_EDGES = 1_000_000
+
+
+def _components_py(edge_list: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """(id, min-reachable-id) for every id in the edge list — union-find
+    with path halving; the label is the component MINIMUM, exactly the
+    distributed fixed point's contract."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_list:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    mins: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        if r not in mins or x < mins[r]:
+            mins[r] = x
+    return [(x, mins[find(x)]) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_fastpath_max_edges: int | None = CC_DRIVER_FASTPATH_MAX_EDGES,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in `pairs`, where cluster_id
     is the MINIMUM id reachable through the pair graph — the missing step
@@ -803,6 +845,21 @@ def connected_components(
     edges = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
+
+    if driver_fastpath_max_edges is not None:
+        # the loop below needs the distinct edge set materialized anyway
+        # (its first localCheckpoint); checkpoint first, then one cheap
+        # count over the checkpointed blocks decides the path
+        edges = edges.localCheckpoint(eager=True)
+        n_edges = edges.count()
+        if n_edges <= driver_fastpath_max_edges:
+            spark = pairs.sparkSession
+            labels = _components_py(
+                [(r["u"], r["v"]) for r in edges.collect()]
+            )
+            edges.unpersist()
+            return spark.createDataFrame(labels, "id long, cluster_id long")
+
     # all ids ever seen (kept stable across rounds; at the fixed point the
     # component minima appear only on the small side of edges)
     nodes = (
@@ -856,8 +913,10 @@ def connected_components(
     # the data is big — localCheckpoint materializes the round and truncates
     # lineage (the standard iterative-Spark pattern; trade-off: blocks are
     # not recomputable on executor loss, use checkpoint() with a checkpoint
-    # dir for fault-tolerant runs)
-    edges = edges.localCheckpoint(eager=True)
+    # dir for fault-tolerant runs). Already checkpointed above when the
+    # fast-path probe ran.
+    if driver_fastpath_max_edges is None:
+        edges = edges.localCheckpoint(eager=True)
     sig = checksum(edges)
     for _ in range(max_iter):
         nxt = small_star(large_star(edges)).localCheckpoint(eager=True)

@@ -372,6 +372,36 @@ def test_connected_components_vs_union_find(spark):
         assert got == {i: expect[i] for i in covered}, (n, len(edges))
 
 
+def test_connected_components_distributed_path_matches_fastpath(spark):
+    """r6: small edge sets take a driver-side union-find fast path
+    (CC_DRIVER_FASTPATH_MAX_EDGES); the distributed star loop must stay
+    covered and produce IDENTICAL labels. Runs the same stress shapes as
+    the union-find differential through BOTH paths."""
+    import random
+
+    rng = random.Random(7)
+    n = 50
+    cases = [
+        [(i, i + 1) for i in range(39)],  # chain: O(log n) star rounds
+        [(rng.randrange(n), rng.randrange(n)) for _ in range(40)],
+    ]
+    for edges in cases:
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+        )
+        fast = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        dist = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(
+                pairs, driver_fastpath_max_edges=None
+            ).collect()
+        }
+        assert fast == dist and fast, len(edges)
+
+
 def test_neardup_clusters_and_representatives(spark):
     from pyspark.sql import functions as F
 

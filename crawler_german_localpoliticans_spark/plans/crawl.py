@@ -57,7 +57,7 @@ from ..functions.robots import parse_robots
 from ..sources import tables as tbl
 from .bloom import BloomSidecar, with_hashes
 from .checkpoint import CheckpointLog, partition_lineage
-from .ordering import assign_global_seq, assign_global_seq_counted
+from .ordering import assign_global_seq_counted
 from .politeness import schedule_wave
 
 

@@ -250,20 +250,32 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # BEFORE counting: an empty doc must report 0 tokens / 0.0 diversity,
     # not "1 perfectly-diverse token" (round-3 review finding)
     toks = F.filter(tokens_col(F.col("text")), lambda t: F.length(t) > 0)
-    ratios = base.select(
-        "id",
-        F.size(toks).alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
-        ).alias("distinct_token_ratio"),
-    )
     tok_rows = base.select("id", F.explode(toks).alias("tok"))
+    # ONE (id, tok) aggregation feeds all three token signals (r6): the
+    # per-(id, tok) counts yield top_c (max), total_c (sum == n_tokens) and
+    # distinct_c (group count) together, replacing the former separate
+    # per-doc array pass (size + array_distinct) and its extra join. All
+    # three are INTEGERS, so the derived ratios divide the exact same
+    # operands as before — bit-identical doubles, no oracle drift. Docs
+    # with zero (non-empty) tokens simply have no row here; the final left
+    # join restores them with 0 / 0.0.
     top = (
         tok_rows.groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
-        .select("id", F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_token_ratio"))
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total_c"),
+            F.count(F.lit(1)).alias("distinct_c"),
+        )
+        .select(
+            "id",
+            F.col("total_c").cast("int").alias("n_tokens"),
+            F.round(
+                F.col("distinct_c") / F.greatest(F.col("total_c"), F.lit(1)), 6
+            ).alias("distinct_token_ratio"),
+            F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_token_ratio"),
+        )
     )
     ch_rows = base.select("id", F.explode(F.split("text", "")).alias("ch")).where(
         F.length("ch") > 0
@@ -282,10 +294,18 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.log("n") - F.col("clogc") / F.col("n"), 6).alias("char_entropy"),
         )
     )
-    return ratios.join(top, "id", "left").join(ent, "id", "left").select(
+    # NULL text keeps the pre-r6 row shape (NULL token stats — size(NULL)
+    # was NULL in the old per-doc array form — with 0.0 fallbacks on the
+    # aggregated signals); token-less non-null text reports 0 / 0.0
+    null_text = F.col("text").isNull()
+    return base.join(top, "id", "left").join(ent, "id", "left").select(
         "id",
-        "n_tokens",
-        "distinct_token_ratio",
+        F.when(null_text, F.lit(None)).otherwise(
+            F.coalesce("n_tokens", F.lit(0))
+        ).alias("n_tokens"),
+        F.when(null_text, F.lit(None).cast("double")).otherwise(
+            F.coalesce("distinct_token_ratio", F.lit(0.0))
+        ).alias("distinct_token_ratio"),
         F.coalesce("top_token_ratio", F.lit(0.0)).alias("top_token_ratio"),
         F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
     )

@@ -88,9 +88,19 @@ def test_repetition_stats_values(spark):
         (1, "a a a a"),            # maximally repetitive
         (2, "w x y z"),            # fully diverse tokens
         (3, "aaaa"),               # single repeated char: entropy 0
+        (4, "   "),                # whitespace-only: 0 tokens, 0.0 ratios
+        (5, None),                 # NULL text: NULL token stats (pre-r6 shape)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+
+    assert got[4]["n_tokens"] == 0
+    assert got[4]["distinct_token_ratio"] == 0.0
+    assert got[4]["top_token_ratio"] == 0.0
+    assert got[5]["n_tokens"] is None
+    assert got[5]["distinct_token_ratio"] is None
+    assert got[5]["top_token_ratio"] == 0.0
+    assert got[5]["char_entropy"] == 0.0
 
     assert got[1]["n_tokens"] == 4
     assert got[1]["distinct_token_ratio"] == 0.25

@@ -38,6 +38,14 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str, max_docs: int | None
     if max_docs is not None:
         docs = docs.where(F.col("doc_id") < max_docs)
     n = docs.count()
+    # the html/url/anchor derivation below is a dozen concat/format
+    # expressions per row; the testdata parquet is one row group, so the
+    # whole derivation would run in ONE scan task (r6, same story as
+    # __spark_entry__._docs) — spread it first. Also gives the derived
+    # pages parquet a multi-file layout, so downstream consumers (the
+    # crawl's pages cache) scan in parallel. Row content is unchanged and
+    # every consumer orders explicitly.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     n_hosts = max(4, n // 50)
     did = F.col("doc_id")
 
